@@ -1,0 +1,132 @@
+"""High-level ingestion: files -> padded device arrays + search box.
+
+Replaces the reference's MolGetter + setup_autobox (reference:
+gninasrc/lib/molgetter.cpp, box.cpp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from gnina_tpu.chem import pdb, pdbqt, sdf
+from gnina_tpu.chem.mol import Molecule
+from gnina_tpu.chem.tree_build import LigandStruct, build_tree_from_molecule, \
+    build_tree_from_pdbqt
+from gnina_tpu.constants import IS_HYDROGEN, AtomTypeTable, DEFAULT_TABLE
+
+
+def _read_text(path: str) -> str:
+    if path.endswith(".gz"):
+        with gzip.open(path, "rt") as f:
+            return f.read()
+    with open(path) as f:
+        return f.read()
+
+
+@dataclasses.dataclass
+class Receptor:
+    mol: Molecule
+    coords: np.ndarray   # (K,3)
+    types: np.ndarray    # (K,)
+    charges: np.ndarray  # (K,)
+
+    @classmethod
+    def from_file(cls, path: str) -> "Receptor":
+        text = _read_text(path)
+        base = path[:-3] if path.endswith(".gz") else path
+        ext = os.path.splitext(base)[1].lower()
+        if ext == ".pdbqt":
+            mol = pdbqt.parse_pdbqt_rigid(text, name=path)
+            mol.perceive_aromaticity()
+            mol.mark_amides()
+        elif ext in (".pdb", ".ent"):
+            mol = pdb.parse_pdb(text, name=path)
+        else:
+            raise ValueError(f"unsupported receptor format: {ext}")
+        types = mol.assign_smina_types()
+        charges = np.array([a.charge for a in mol.atoms], np.float32)
+        return cls(mol=mol, coords=mol.coords(), types=types, charges=charges)
+
+    def pruned(self, center: np.ndarray, half_span: np.ndarray,
+               margin: float = 8.0) -> "Receptor":
+        """Keep atoms within box + cutoff margin (szv_grid-style pruning)."""
+        lo = center - half_span - margin
+        hi = center + half_span + margin
+        keep = np.all((self.coords >= lo) & (self.coords <= hi), axis=1)
+        idx = np.where(keep)[0]
+        sub = Molecule(name=self.mol.name)
+        sub.atoms = [self.mol.atoms[i] for i in idx]
+        return Receptor(mol=sub, coords=self.coords[idx],
+                        types=self.types[idx], charges=self.charges[idx])
+
+
+def iter_ligands(path: str, table: AtomTypeTable = DEFAULT_TABLE,
+                 keep_hydrogens: bool = True) -> Iterator[LigandStruct]:
+    """Stream ligands from SDF/MOL/PDBQT/PDB files (multi-record aware)."""
+    text = _read_text(path)
+    base = path[:-3] if path.endswith(".gz") else path
+    ext = os.path.splitext(base)[1].lower()
+    if ext in (".sdf", ".mol"):
+        for i, mol in enumerate(sdf.iter_sdf(text, is_text=True)):
+            if not mol.name:
+                mol.name = f"{os.path.basename(base)}_{i}"
+            yield build_tree_from_molecule(mol, table)
+    elif ext == ".pdbqt":
+        # possibly multi-MODEL
+        models = _split_models(text)
+        for i, mtext in enumerate(models):
+            lig = pdbqt.parse_pdbqt_ligand(mtext, name=f"{os.path.basename(base)}_{i}")
+            yield build_tree_from_pdbqt(lig, table)
+    elif ext == ".pdb":
+        mol = pdb.parse_pdb(text, name=os.path.basename(base))
+        yield build_tree_from_molecule(mol, table)
+    else:
+        raise ValueError(f"unsupported ligand format: {ext}")
+
+
+def _split_models(text: str) -> List[str]:
+    if "MODEL" not in text:
+        return [text]
+    models = []
+    cur: List[str] = []
+    for line in text.splitlines():
+        if line.startswith("MODEL"):
+            cur = []
+        elif line.startswith("ENDMDL"):
+            models.append("\n".join(cur))
+        else:
+            cur.append(line)
+    if cur and not models:
+        models.append("\n".join(cur))
+    return models
+
+
+def autobox_ligand(path: str, autobox_add: float = 4.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Search box from a reference ligand's heavy-atom bounding box + margin
+    (reference: box.cpp setup_autobox, default autobox_add=4).
+
+    Returns (center, size).
+    """
+    coords = []
+    for lig in iter_ligands(path):
+        heavy = ~IS_HYDROGEN[lig.types]
+        coords.append(lig.orig_coords[heavy])
+        break
+    if not coords:
+        raise ValueError(f"no ligand found in {path}")
+    c = np.concatenate(coords)
+    lo, hi = c.min(axis=0), c.max(axis=0)
+    center = 0.5 * (lo + hi)
+    size = (hi - lo) + 2 * autobox_add
+    return center.astype(np.float32), size.astype(np.float32)
+
+
+def box_from_center_size(center, size) -> Tuple[np.ndarray, np.ndarray]:
+    center = np.asarray(center, np.float32)
+    size = np.asarray(size, np.float32)
+    return center - size / 2, center + size / 2

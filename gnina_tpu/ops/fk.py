@@ -1,0 +1,80 @@
+"""Forward kinematics over the BFS-layered ligand tree, as a fixed-trip scan.
+
+TPU-native replacement for the recursive heterotree FK (reference:
+gninasrc/lib/tree.h:322-326 set_conf, and the BFS-flattened GPU version
+tree_gpu.cu).  All nodes are updated vectorially layer by layer; masking
+keeps padded nodes inert.  Differentiating through this function w.r.t. a
+zero rotation-vector increment reproduces the reference's force->torque
+reverse pass (tree.h:374-393) exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gnina_tpu.ops import quat as Q
+from gnina_tpu.types import Conf, LigandData
+
+
+def fk_node_frames(lig: LigandData, conf: Conf, max_layers: int):
+    """Compute per-node (origin, quaternion) for a single conf.
+
+    Returns origins (M,3), quats (M,4).
+    """
+    m = lig.parent.shape[0]
+    origins0 = jnp.zeros((m, 3), jnp.float32).at[0].set(conf.position)
+    quats0 = jnp.tile(Q.QT_IDENTITY, (m, 1)).at[0].set(conf.orientation)
+
+    # torsion for node i (i>=1) is torsions[i-1]
+    torsions = jnp.concatenate([jnp.zeros((1,), jnp.float32), conf.torsions])
+
+    def layer_step(carry, l):
+        origins, quats = carry
+        parent = jnp.maximum(lig.parent, 0)
+        p_origin = origins[parent]          # (M,3)
+        p_quat = quats[parent]              # (M,4)
+        new_origin = p_origin + Q.qrotate(p_quat, lig.rel_origin)
+        axis = Q.qrotate(p_quat, lig.rel_axis)
+        new_quat = Q.qnormalize_approx(
+            Q.qmul(Q.axis_angle_to_quaternion(axis, torsions), p_quat))
+        upd = (lig.layer == l)[:, None]
+        origins = jnp.where(upd, new_origin, origins)
+        quats = jnp.where(upd, new_quat, quats)
+        return (origins, quats), None
+
+    (origins, quats), _ = jax.lax.scan(
+        layer_step, (origins0, quats0), jnp.arange(1, max_layers + 1))
+    return origins, quats
+
+
+def fk_coords(lig: LigandData, conf: Conf, max_layers: int):
+    """Atom lab coordinates (N,3) for a single conf."""
+    origins, quats = fk_node_frames(lig, conf, max_layers)
+    node = lig.node_id
+    return origins[node] + Q.qrotate(quats[node], lig.local_coords)
+
+
+def conf_increment(conf: Conf, delta: jnp.ndarray, factor) -> Conf:
+    """conf.increment(change, factor) (conf.h:113-118,385-394).
+
+    delta is a flat (6+T,) change vector: [dpos(3), rotvec(3), dtors(T)].
+    Torsion increments are angle-normalized before and after adding.
+    """
+    pos = conf.position + factor * delta[:3]
+    quat = Q.quaternion_increment(conf.orientation, factor * delta[3:6])
+    tors = Q.normalize_angle(conf.torsions + Q.normalize_angle(factor * delta[6:]))
+    return Conf(position=pos, orientation=quat, torsions=tors)
+
+
+def conf_with_increment_var(conf: Conf, eps: jnp.ndarray) -> Conf:
+    """Apply a differentiable zero increment for gradient extraction.
+
+    eps is a (6+T,) vector; at eps=0 this is the identity, and
+    d(energy)/d(eps) equals the reference's `change` gradient layout:
+    [force(3), torque(3), dtorsions(T)].
+    """
+    pos = conf.position + eps[:3]
+    quat = Q.qmul(Q.rotvec_to_quaternion(eps[3:6]), conf.orientation)
+    tors = conf.torsions + eps[6:]
+    return Conf(position=pos, orientation=quat, torsions=tors)

@@ -1,0 +1,269 @@
+"""Device-resident Monte Carlo pose search with top-N dedup container.
+
+TPU-native replacement for monte_carlo.cpp + parallel_mc.cpp: one MC chain
+is a `lax.scan` over steps; the reference's `exhaustiveness` thread pool
+becomes a vmapped batch of chains merged on-device.  The saved-minima
+container (coords.cpp add_to_output_container) becomes a fixed-slot buffer
+updated with masked scatter ops.
+
+Semantics mirrored from the reference:
+- mutate_conf picks ONE random DOF: +-2A translation, gyration-scaled
+  rotation, or torsion redraw (mutate.cpp:35-73)
+- truncated BFGS under hunt_cap, metropolis at T=1.2 on the INTER-only
+  energy at authentic v (monte_carlo.cpp:44-47,99-148), full-v refinement
+  of improved poses
+- RMSD-deduplicated top-N insert (coords.cpp:43-56)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gnina_tpu.constants import EPSILON_FL, MAX_FL
+from gnina_tpu.ops import fk
+from gnina_tpu.ops.bfgs import MinimizeParams, bfgs
+from gnina_tpu.ops.quat import quaternion_increment, random_orientation
+from gnina_tpu.types import Conf, LigandData
+
+
+@dataclasses.dataclass(frozen=True)
+class MCParams:
+    num_steps: int = 1000
+    temperature: float = 1.2
+    mutation_amplitude: float = 2.0
+    min_rmsd: float = 1.0
+    num_saved_mins: int = 50
+    hunt_cap: tuple = (10.0, 10.0, 10.0)
+    minparams: MinimizeParams = MinimizeParams()
+
+
+class PoseContainer(NamedTuple):
+    """Fixed-slot saved-minima buffer (per chain or merged)."""
+
+    energy: jnp.ndarray    # (S,)
+    position: jnp.ndarray  # (S,3)
+    orientation: jnp.ndarray  # (S,4)
+    torsions: jnp.ndarray  # (S,T)
+    coords: jnp.ndarray    # (S,N,3) heavy-atom lab coords (hydrogens zeroed)
+
+
+def empty_container(s: int, t: int, n: int) -> PoseContainer:
+    return PoseContainer(
+        energy=jnp.full((s,), MAX_FL, jnp.float32),
+        position=jnp.zeros((s, 3), jnp.float32),
+        orientation=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (s, 1)),
+        torsions=jnp.zeros((s, t), jnp.float32),
+        coords=jnp.full((s, n, 3), 1e9, jnp.float32),
+    )
+
+
+def rmsd_upper_bound_sq(coords_a, coords_b, heavy_mask):
+    """Mean squared same-index heavy-atom distance (model.cpp:1064-1078)."""
+    d2 = jnp.sum((coords_a - coords_b) ** 2, axis=-1)  # (...,N)
+    cnt = jnp.maximum(jnp.sum(heavy_mask, axis=-1), 1)
+    return jnp.sum(jnp.where(heavy_mask, d2, 0.0), axis=-1) / cnt
+
+
+def add_to_container(cont: PoseContainer, conf: Conf, energy, coords,
+                     heavy_mask, min_rmsd: float) -> PoseContainer:
+    """add_to_output_container (coords.cpp:43-56) with fixed slots."""
+    r2 = rmsd_upper_bound_sq(cont.coords, coords[None, :, :], heavy_mask[None, :])
+    closest = jnp.argmin(r2)
+    have_close = r2[closest] < min_rmsd * min_rmsd
+    worst = jnp.argmax(cont.energy)
+
+    # case 1: similar pose exists -> replace if better
+    replace_similar = jnp.logical_and(have_close, energy < cont.energy[closest])
+    # case 2: nothing similar -> take worst slot if better (empty slots have
+    # energy = MAX_FL so they are always taken first)
+    replace_worst = jnp.logical_and(~have_close, energy < cont.energy[worst])
+
+    slot = jnp.where(replace_similar, closest, worst)
+    do = jnp.logical_or(replace_similar, replace_worst)
+
+    def upd(arr, new):
+        return jnp.where(do, arr.at[slot].set(new), arr)
+
+    return PoseContainer(
+        energy=upd(cont.energy, energy),
+        position=upd(cont.position, conf.position),
+        orientation=upd(cont.orientation, conf.orientation),
+        torsions=upd(cont.torsions, conf.torsions),
+        coords=upd(cont.coords, jnp.where(heavy_mask[:, None], coords, 1e9)),
+    )
+
+
+def random_inside_sphere(key):
+    """Uniform point in the unit ball (direction x cbrt(U))."""
+    k1, k2 = jax.random.split(key)
+    d = jax.random.normal(k1, (3,), jnp.float32)
+    d = d / jnp.maximum(jnp.linalg.norm(d), EPSILON_FL)
+    r = jax.random.uniform(k2, (), jnp.float32) ** (1.0 / 3.0)
+    return r * d
+
+
+def mutate_conf(key, conf: Conf, lig: LigandData, amplitude: float,
+                num_real_torsions, max_layers: int) -> Conf:
+    """One-DOF mutation (mutate.cpp:35-73)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    t = conf.torsions.shape[-1]
+    which = jax.random.randint(k1, (), 0, num_real_torsions + 2)
+
+    # position mutation
+    pos_new = conf.position + amplitude * random_inside_sphere(k2)
+
+    # orientation mutation, scaled by current gyration radius
+    coords = fk.fk_coords(lig, conf, max_layers)
+    d2 = jnp.sum((coords - conf.position) ** 2, axis=-1)
+    cnt = jnp.maximum(jnp.sum(lig.heavy_mask), 1)
+    gr = jnp.sqrt(jnp.sum(jnp.where(lig.heavy_mask, d2, 0.0)) / cnt)
+    rot = (amplitude / jnp.maximum(gr, EPSILON_FL)) * random_inside_sphere(k3)
+    quat_new = jnp.where(gr > EPSILON_FL,
+                         quaternion_increment(conf.orientation, rot),
+                         conf.orientation)
+
+    # torsion redraw
+    tor_idx = which - 2
+    new_tor = jax.random.uniform(k4, (), jnp.float32, -jnp.pi, jnp.pi)
+    tors_new = jnp.where(jnp.arange(t) == tor_idx, new_tor, conf.torsions)
+
+    return Conf(
+        position=jnp.where(which == 0, pos_new, conf.position),
+        orientation=jnp.where(which == 1, quat_new, conf.orientation),
+        torsions=jnp.where(which >= 2, tors_new, conf.torsions),
+    )
+
+
+def randomize_conf(key, lig: LigandData, corner1, corner2, t: int) -> Conf:
+    """Random position in box, random orientation, random torsions
+    (conf.h:119-122,441-446)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    pos = jax.random.uniform(k1, (3,), jnp.float32) * (corner2 - corner1) + corner1
+    quat = random_orientation(k2)
+    tors = jax.random.uniform(k3, (t,), jnp.float32, -jnp.pi, jnp.pi)
+    return Conf(position=pos, orientation=quat, torsions=tors)
+
+
+def metropolis_accept(key, old_f, new_f, temperature):
+    accept_p = jnp.exp((old_f - new_f) / temperature)
+    return jnp.logical_or(new_f < old_f,
+                          jax.random.uniform(key, (), jnp.float32) < accept_p)
+
+
+def run_mc_chain(key, lig: LigandData, energy_fn, params: MCParams,
+                 corner1, corner2, max_layers: int, dof_mask,
+                 num_real_torsions) -> PoseContainer:
+    """One MC chain (monte_carlo.cpp:99-148).
+
+    energy_fn(conf, v3, cap_scalar_unused) contract:
+      eval_deriv(conf, v) -> (e, g) for BFGS;
+      eval_inter(conf, v1) -> metropolis/update energy.
+    Provided via a small dict to keep this module decoupled from energy.py.
+    """
+    eval_deriv = energy_fn["eval_deriv"]
+    eval_inter = energy_fn["eval_inter"]
+
+    t = lig.num_torsion_slots
+    n = lig.types.shape[0]
+    hunt_cap = jnp.asarray(params.hunt_cap, jnp.float32)
+    authentic_v = jnp.array([1000.0, 1000.0, 1000.0], jnp.float32)
+
+    def f_hunt(conf):
+        return eval_deriv(conf, hunt_cap)
+
+    def f_full(conf):
+        return eval_deriv(conf, authentic_v)
+
+    k_init, k_loop = jax.random.split(key)
+    conf0 = randomize_conf(k_init, lig, corner1, corner2, t)
+
+    cont0 = empty_container(params.num_saved_mins, t, n)
+
+    class Carry(NamedTuple):
+        conf: Conf
+        e: jnp.ndarray
+        best_e: jnp.ndarray
+        cont: PoseContainer
+
+    def step(carry: Carry, k):
+        k1, k2 = jax.random.split(k)
+        cand = mutate_conf(k1, carry.conf, lig, params.mutation_amplitude,
+                           num_real_torsions, max_layers)
+        res = bfgs(f_hunt, cand, params.minparams, dof_mask)
+        cand = res.x
+        cand_e = eval_inter(cand, authentic_v[1])
+
+        accept = metropolis_accept(k2, carry.e, cand_e, params.temperature)
+        first = carry.e >= MAX_FL  # step 0 always accepts
+        accept = jnp.logical_or(accept, first)
+
+        # refinement of promising accepted poses: the reference refines when
+        # accepted and (improved or container not full); we refine whenever
+        # accepted and improved-or-any-empty-slot
+        has_empty = jnp.any(carry.cont.energy >= MAX_FL)
+        promising = jnp.logical_and(
+            accept, jnp.logical_or(cand_e < carry.best_e, has_empty))
+
+        refined = bfgs(f_full, cand, params.minparams, dof_mask)
+        ref_e = eval_inter(refined.x, authentic_v[1])
+
+        use_ref = promising
+        new_conf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, jnp.where(use_ref, a, b), 0 * a + b),
+            refined.x, cand)
+        # keep previous conf when not accepted
+        new_conf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), new_conf, carry.conf)
+        new_e = jnp.where(accept, jnp.where(use_ref, ref_e, cand_e), carry.e)
+
+        coords = fk.fk_coords(lig, new_conf, max_layers)
+        cont = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(promising, a, b),
+            add_to_container(carry.cont, new_conf, new_e, coords,
+                             lig.heavy_mask, params.min_rmsd),
+            carry.cont)
+
+        best_e = jnp.where(jnp.logical_and(promising, new_e < carry.best_e),
+                           new_e, carry.best_e)
+        return Carry(conf=new_conf, e=new_e, best_e=best_e, cont=cont), None
+
+    init = Carry(conf=conf0, e=jnp.float32(MAX_FL), best_e=jnp.float32(MAX_FL),
+                 cont=cont0)
+    keys = jax.random.split(k_loop, params.num_steps)
+    final, _ = jax.lax.scan(step, init, keys)
+    return final.cont
+
+
+def merge_containers(conts: PoseContainer, heavy_mask, min_rmsd: float,
+                     out_slots: int) -> PoseContainer:
+    """Merge per-chain containers (parallel_mc.cpp:168-181, min_rmsd=2).
+
+    conts has a leading chain axis; returns a single container with
+    out_slots entries, deduplicated and sorted by energy.
+    """
+    c = jax.tree_util.tree_map(
+        lambda a: a.reshape((-1,) + a.shape[2:]), conts)
+    order = jnp.argsort(c.energy)
+    c = jax.tree_util.tree_map(lambda a: a[order], c)
+
+    total = c.energy.shape[0]
+    t = c.torsions.shape[-1]
+    n = c.coords.shape[-2]
+    out = empty_container(out_slots, t, n)
+
+    def body(i, out):
+        conf = Conf(position=c.position[i], orientation=c.orientation[i],
+                    torsions=c.torsions[i])
+        valid = c.energy[i] < MAX_FL
+        new = add_to_container(out, conf, c.energy[i], c.coords[i],
+                               heavy_mask, min_rmsd)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(valid, a, b), new, out)
+
+    out = jax.lax.fori_loop(0, total, body, out)
+    order = jnp.argsort(out.energy)
+    return jax.tree_util.tree_map(lambda a: a[order], out)

@@ -127,7 +127,7 @@ class Vdw(Term):
             jnp.where(r < d0 - self.smoothing, r + self.smoothing, d0),
         )
         # guard against division by ~0 (reference returns cap there)
-        r_s = jnp.maximum(r_s, 1e-10)
+        r_s = jnp.maximum(r_s, 0.01)
         val = c_i / r_s**self.i + c_j / r_s**self.j
         return jnp.minimum(val, self.cap)
 
@@ -173,7 +173,7 @@ class NonDirHBondLJ(Term):
     def eval(self, pa, pb, r, qa=None, qb=None):
         d0 = _optimal_distance(pa, pb) + self.offset
         c_i, c_j = _vdw_coefficients(10, 12, d0, 5.0)
-        r_s = jnp.maximum(r, 1e-10)
+        r_s = jnp.maximum(r, 0.01)
         val = jnp.minimum(c_i / r_s**10 + c_j / r_s**12, self.cap)
         return jnp.where(_h_bond_possible(pa, pb), val, 0.0)
 
@@ -312,7 +312,7 @@ class AtomTypeLennardJones(Term):
 
     def eval(self, pa, pb, r, qa=None, qb=None):
         c_i, c_j = _vdw_coefficients(6, 12, self.opt_distance, 1.0)
-        r_s = jnp.maximum(r, 1e-10)
+        r_s = jnp.maximum(r, 0.01)
         return jnp.minimum(c_i / r_s**6 + c_j / r_s**12, self.cap)
 
 
