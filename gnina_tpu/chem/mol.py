@@ -277,6 +277,26 @@ class Molecule:
 
     # -- typing --------------------------------------------------------------
 
+    _DEFAULT_VALENCE = {5: 3, 6: 4, 7: 3, 8: 2, 9: 1, 14: 4, 15: 3, 16: 2,
+                        17: 1, 35: 1, 53: 1}
+
+    def implicit_hydrogen_count(self, i: int) -> int:
+        """Implicit H from valence deficit (used when explicit H are absent).
+
+        Mirrors the effect of OpenBabel's AddHydrogens before typing
+        (GninaConverter.cpp:30): bond orders from the file, +1 allowed
+        valence per positive formal charge, -1 per negative.
+        """
+        a = self.atoms[i]
+        base = self._DEFAULT_VALENCE.get(a.anum)
+        if base is None:
+            return 0
+        valence = base + a.formal_charge
+        total = 0.0
+        for _, b in self.adjacency()[i]:
+            total += 1.5 if b.aromatic else b.order
+        return max(0, int(round(valence - total)))
+
     def _is_hbond_acceptor(self, i: int) -> bool:
         """Approximates OpenBabel3's IsHbondAcceptor for N/O/S."""
         a = self.atoms[i]
@@ -314,32 +334,42 @@ class Molecule:
         Follows obatom_to_smina_type (atom_constants.h:315-349): pick the AD
         element name, then adjust by bonded-H / bonded-heteroatom.
         """
+        from gnina_tpu.chem.protein import is_standard_residue, protein_atom_flags
+
         n = len(self.atoms)
         types = np.zeros(n, np.int32)
         adj = self.adjacency()
         for i, a in enumerate(self.atoms):
+            template = (not a.ad_name and a.resname and a.name
+                        and is_standard_residue(a.resname))
+            tmpl_donor = tmpl_acceptor = tmpl_aromatic = False
+            if template:
+                tmpl_donor, tmpl_acceptor, tmpl_aromatic = protein_atom_flags(
+                    a.resname, a.name, a.anum)
             if a.ad_name:
                 t = string_to_smina_type(a.ad_name)
                 if t is None:
                     t = SminaType.GenericMetal
             else:
+                aromatic = a.aromatic or tmpl_aromatic
+                acceptor = tmpl_acceptor if template else self._is_hbond_acceptor(i)
                 sym = el.ANUM_TO_SYMBOL.get(a.anum, "M")
                 if a.anum == 1:
                     ename = "HD"
-                elif a.anum == 6 and a.aromatic:
+                elif a.anum == 6 and aromatic:
                     ename = "A"
                 elif a.anum == 8:
                     ename = "OA"
-                elif a.anum == 7 and self._is_hbond_acceptor(i):
+                elif a.anum == 7 and acceptor:
                     ename = "NA"
-                elif a.anum == 16 and self._is_hbond_acceptor(i):
+                elif a.anum == 16 and acceptor:
                     ename = "SA"
                 else:
                     ename = sym if sym not in NON_AD_METAL_NAMES else "M"
                 t = string_to_smina_type(ename)
                 if t is None:
                     t = SminaType.GenericMetal
-            h_bonded = False
+            h_bonded = tmpl_donor
             hetero_bonded = False
             for j, _ in adj[i]:
                 nb = self.atoms[j]
@@ -347,6 +377,8 @@ class Molecule:
                     h_bonded = True
                 elif nb.anum != 6:
                     hetero_bonded = True
+            if not template and not h_bonded and a.anum in (7, 8, 16):
+                h_bonded = self.implicit_hydrogen_count(i) > 0
             types[i] = int(adjust_smina_type(t, h_bonded, hetero_bonded))
         return types
 

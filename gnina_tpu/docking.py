@@ -1,0 +1,357 @@
+"""End-to-end docking engine: the TPU-native equivalent of gnina's
+main_procedure/do_search (reference: gninasrc/main/main.cpp:210-530).
+
+Pipeline per ligand:
+  host ingest -> padded arrays -> jitted [vmapped MC chains -> merge ->
+  batched refinement] -> exact rescore + conf-independent -> sort/filter ->
+  results.
+
+The reference's `exhaustiveness` thread pool becomes a chain batch dimension;
+all chains of one ligand run in a single compiled program resident on the
+accelerator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnina_tpu.chem.ingest import Receptor, box_from_center_size
+from gnina_tpu.chem.tree_build import LigandStruct
+from gnina_tpu.constants import MAX_FL
+from gnina_tpu.ops import fk, mc
+from gnina_tpu.ops.bfgs import MinimizeParams, bfgs
+from gnina_tpu.ops.energy import Box, make_energy_fn
+from gnina_tpu.scoring.builtin import get_scoring_function
+from gnina_tpu.scoring.weighted import ScoringFunction
+from gnina_tpu.types import Conf, LigandData, ReceptorData, pad_ligand, \
+    pad_receptor, initial_conf
+
+
+@dataclasses.dataclass
+class DockSettings:
+    scoring: str = "vina"
+    exhaustiveness: int = 8
+    num_modes: int = 9
+    num_mc_saved: int = 50
+    out_min_rmsd: float = 1.0
+    forcecap: float = 1000.0
+    seed: int = 0
+    num_mc_steps: int = 0          # 0 -> heuristic
+    max_mc_steps: int = 0
+    temperature: float = 1.2
+    autobox_add: float = 4.0
+    minimize_iters: int = 0        # 0 -> heuristic
+    accurate_line_search: bool = False
+    cnn_scoring: str = "rescore"   # none|rescore|refinement|all
+    cnn_rotations: int = 0
+    sort_order: str = "auto"       # auto|CNNscore|CNNaffinity|Energy
+
+
+@dataclasses.dataclass
+class PoseResult:
+    energy: float               # Vina affinity (kcal/mol)
+    intramol: float
+    cnnscore: float
+    cnnaffinity: float
+    cnnvariance: float
+    coords: np.ndarray          # (N,3) all-atom coords (unpadded)
+    conf_position: np.ndarray
+    conf_orientation: np.ndarray
+    conf_torsions: np.ndarray
+    rmsd: float = -1.0
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(((x + m - 1) // m) * m, m)
+
+
+def _num_steps_heuristic(lig: LigandStruct, settings: DockSettings) -> int:
+    """main.cpp:449-456."""
+    dof = 6 + lig.num_torsions
+    heuristic = lig.num_atoms + 10 * dof
+    steps = int(70 * 3 * (50 + heuristic) / 2)
+    if settings.num_mc_steps > 0:
+        steps = settings.num_mc_steps
+    if settings.max_mc_steps > 0:
+        steps = min(steps, settings.max_mc_steps)
+    return steps
+
+
+def _minimize_iters_heuristic(lig: LigandStruct, settings: DockSettings) -> int:
+    """ssd_par.evals = (25 + natoms)/3 (main.cpp:454)."""
+    if settings.minimize_iters > 0:
+        return settings.minimize_iters
+    return max(int((25 + lig.num_atoms) / 3), 1)
+
+
+class DockingEngine:
+    """Builds and caches jitted docking programs per (shape bucket, box)."""
+
+    def __init__(self, settings: DockSettings = DockSettings(),
+                 sf: Optional[ScoringFunction] = None, cnn_scorer=None):
+        self.settings = settings
+        self.sf = sf if sf is not None else get_scoring_function(settings.scoring)
+        self.cnn = cnn_scorer
+
+    # -- padding ------------------------------------------------------------
+
+    def _pad_sizes(self, lig: LigandStruct, rec_n: int):
+        n = _round_up(lig.num_atoms, 8)
+        m = _round_up(lig.num_nodes, 4)
+        p = _round_up(max(len(lig.pairs), 1), 32)
+        k = _round_up(rec_n, 256)
+        return n, m, p, k
+
+    def _prepare(self, rec: Receptor, lig: LigandStruct,
+                 center, size) -> Tuple[LigandData, ReceptorData, Box, int, int]:
+        pruned = rec.pruned(np.asarray(center), np.asarray(size) / 2,
+                            margin=self.sf.cutoff)
+        n, m, p, k = self._pad_sizes(lig, len(pruned.types))
+        lig_d = pad_ligand(lig, n, m, p)
+        rec_d = pad_receptor(pruned.coords, pruned.types, pruned.charges, k)
+        lo, hi = box_from_center_size(center, size)
+        box = Box(lo=jnp.asarray(lo), hi=jnp.asarray(hi))
+        max_layers = int(lig.layer.max()) if lig.num_nodes > 1 else 1
+        max_layers = _round_up(max_layers, 4)
+        return lig_d, rec_d, box, max_layers, n
+
+    # -- score-only ---------------------------------------------------------
+
+    def score_only(self, rec: Receptor, lig: LigandStruct) -> PoseResult:
+        """--score_only (main.cpp:233-270): exact scoring at the input pose."""
+        center = lig.orig_coords.mean(axis=0)
+        size = np.full(3, 2 * (self.sf.cutoff + lig.max_span()), np.float32)
+        lig_d, rec_d, box, max_layers, _ = self._prepare(rec, lig, center, size)
+        efn = make_energy_fn(self.sf, max_layers)
+        t = lig.num_torsions
+        conf = initial_conf(lig, lig_d.num_torsion_slots)
+        v = jnp.full((3,), self.settings.forcecap, jnp.float32)
+
+        @jax.jit
+        def program(lig_d, rec_d, conf):
+            # naive (no box penalty): use an enormous box
+            big = Box(lo=jnp.full(3, -1e8), hi=jnp.full(3, 1e8))
+            inter = efn.eval_inter(lig_d, rec_d, conf, big, 0.0, v[1])
+            intra = efn.eval_intra(lig_d, conf, v[0])
+            return inter, intra
+
+        inter, intra = program(lig_d, rec_d, conf)
+        e = self._conf_independent(lig, float(inter))
+        coords = np.asarray(fk.fk_coords(lig_d, conf, max_layers))[:lig.num_atoms]
+        cnnscore, cnnaff, cnnvar = self._cnn_score(rec, lig, coords)
+        return PoseResult(energy=e, intramol=float(intra), cnnscore=cnnscore,
+                          cnnaffinity=cnnaff, cnnvariance=cnnvar,
+                          coords=coords,
+                          conf_position=np.asarray(conf.position),
+                          conf_orientation=np.asarray(conf.orientation),
+                          conf_torsions=np.asarray(conf.torsions)[:t])
+
+    def _conf_independent(self, lig: LigandStruct, e: float) -> float:
+        inputs = {
+            "num_tors": np.float32(lig.num_tors),
+            "num_heavy_atoms": np.float32(lig.num_heavy_atoms),
+            "num_hydrophobic_atoms": np.float32(lig.num_hydrophobic_atoms),
+            "ligand_lengths_sum": np.float32(lig.ligand_length),
+            "num_ligands": np.float32(1.0),
+        }
+        return float(np.asarray(self.sf.conf_independent(inputs, np.float32(e))))
+
+    def _cnn_score(self, rec: Receptor, lig: LigandStruct, coords: np.ndarray):
+        if self.cnn is None or self.settings.cnn_scoring == "none":
+            return 0.0, 0.0, 0.0
+        return self.cnn.score_pose(rec, lig, coords)
+
+    # -- local minimization (--minimize / --local_only) -----------------------
+
+    def minimize(self, rec: Receptor, lig: LigandStruct,
+                 center=None, size=None) -> PoseResult:
+        """--local_only refinement from the input pose (main.cpp:271-311)."""
+        if center is None:
+            # movable_atoms_box with autobox_add margin (main.cpp:1465-1478)
+            lo = lig.orig_coords.min(axis=0) - self.settings.autobox_add
+            hi = lig.orig_coords.max(axis=0) + self.settings.autobox_add
+            center, size = (lo + hi) / 2, hi - lo
+        lig_d, rec_d, box, max_layers, _ = self._prepare(rec, lig, center, size)
+        efn = make_energy_fn(self.sf, max_layers)
+        t = lig.num_torsions
+        tp = lig_d.num_torsion_slots
+        conf0 = initial_conf(lig, tp)
+        dof_mask = jnp.arange(6 + tp) < 6 + t
+        cap = jnp.full((3,), self.settings.forcecap, jnp.float32)
+        iters = (self.settings.minimize_iters
+                 if self.settings.minimize_iters > 0 else 10000)
+        iters = min(iters, 10000)
+        minpar = MinimizeParams(maxiters=iters, type="accurate")
+
+        refine = self._build_refine(efn, minpar, cap)
+
+        @jax.jit
+        def program(lig_d, rec_d, conf):
+            conf, e = refine(lig_d, rec_d, conf, box)
+            big = Box(lo=jnp.full(3, -1e8), hi=jnp.full(3, 1e8))
+            inter = efn.eval_inter(lig_d, rec_d, conf, big, 0.0, cap[1])
+            intra = efn.eval_intra(lig_d, conf, cap[0])
+            coords = fk.fk_coords(lig_d, conf, max_layers)
+            return conf, inter, intra, coords
+
+        conf, inter, intra, coords = program(lig_d, rec_d, conf0)
+        coords = np.asarray(coords)[:lig.num_atoms]
+        e = self._conf_independent(lig, float(inter))
+        heavy = np.asarray(lig_d.heavy_mask)[:lig.num_atoms]
+        rmsd = float(np.sqrt(((coords[heavy] - lig.orig_coords[heavy]) ** 2)
+                             .sum(axis=1).mean()))
+        cnnscore, cnnaff, cnnvar = self._cnn_score(rec, lig, coords)
+        return PoseResult(energy=e, intramol=float(intra), cnnscore=cnnscore,
+                          cnnaffinity=cnnaff, cnnvariance=cnnvar, coords=coords,
+                          conf_position=np.asarray(conf.position),
+                          conf_orientation=np.asarray(conf.orientation),
+                          conf_torsions=np.asarray(conf.torsions)[:t], rmsd=rmsd)
+
+    def _build_refine(self, efn, minpar: MinimizeParams, cap):
+        """refine_structure (main.cpp:131-173): up to 5 slope escalations."""
+
+        def refine(lig_d, rec_d, conf, box):
+            dof = 6 + lig_d.num_torsion_slots
+
+            def within(conf):
+                coords = fk.fk_coords(lig_d, conf, efn.max_layers)
+                margin = 0.0001
+                ok = jnp.logical_and(coords >= box.lo - margin,
+                                     coords <= box.hi + margin)
+                ok = jnp.logical_or(ok, ~lig_d.heavy_mask[:, None])
+                return jnp.all(ok)
+
+            def body(i, state):
+                conf, e, done = state
+                slope = 10.0 ** (i + 1.0)
+
+                def f(c):
+                    return efn.eval_deriv(lig_d, rec_d, c, box, slope, cap)
+
+                res = bfgs(f, conf, minpar)
+                new_done = within(res.x)
+                conf2 = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(done, old, new), res.x, conf)
+                e2 = jnp.where(done, e, res.f0)
+                return conf2, e2, jnp.logical_or(done, new_done)
+
+            conf, e, done = jax.lax.fori_loop(
+                0, 5, body, (conf, jnp.float32(MAX_FL), jnp.asarray(False)))
+            e = jnp.where(done, e, jnp.float32(MAX_FL))
+            return conf, e
+
+        return refine
+
+    # -- full docking ---------------------------------------------------------
+
+    def dock(self, rec: Receptor, lig: LigandStruct, center, size,
+             seed: Optional[int] = None) -> List[PoseResult]:
+        s = self.settings
+        lig_d, rec_d, box, max_layers, n_pad = self._prepare(rec, lig, center, size)
+        efn = make_energy_fn(self.sf, max_layers)
+        t = lig.num_torsions
+        tp = lig_d.num_torsion_slots
+        dof_mask = jnp.arange(6 + tp) < 6 + t
+        num_steps = _num_steps_heuristic(lig, s)
+        miniters = _minimize_iters_heuristic(lig, s)
+        minpar = MinimizeParams(
+            maxiters=miniters,
+            type="accurate" if s.accurate_line_search else "fast")
+        mcpar = mc.MCParams(num_steps=num_steps, temperature=s.temperature,
+                            num_saved_mins=max(s.num_modes, s.num_mc_saved),
+                            minparams=minpar)
+        cap = jnp.full((3,), s.forcecap, jnp.float32)
+        refine = self._build_refine(efn, minpar, cap)
+        slope = 1e3
+
+        num_out = mcpar.num_saved_mins
+
+        @functools.partial(jax.jit, static_argnames=())
+        def program(lig_d, rec_d, key):
+            energy_fns = {
+                "eval_deriv": lambda conf, v: efn.eval_deriv(
+                    lig_d, rec_d, conf, box, slope, v),
+                "eval_inter": lambda conf, v1: efn.eval_inter(
+                    lig_d, rec_d, conf, box, slope, v1),
+            }
+            keys = jax.random.split(key, s.exhaustiveness)
+            chains = jax.vmap(lambda k: mc.run_mc_chain(
+                k, lig_d, energy_fns, mcpar, box.lo, box.hi, max_layers,
+                dof_mask, jnp.int32(t)))(keys)
+            merged = mc.merge_containers(chains, lig_d.heavy_mask,
+                                         min_rmsd=2.0, out_slots=num_out)
+
+            # batched refinement of all saved poses (main.cpp:322-344)
+            def refine_one(pos, quat, tors, e_in):
+                conf = Conf(position=pos, orientation=quat, torsions=tors)
+                conf, _ = refine(lig_d, rec_d, conf, box)
+                # exact rescore: intramolecular + adjusted inter
+                intra = efn.eval_intra(lig_d, conf, cap[0])
+                inter = efn.eval_inter(lig_d, rec_d, conf, box, slope, cap[1])
+                coords = fk.fk_coords(lig_d, conf, max_layers)
+                valid = e_in < MAX_FL
+                return conf, jnp.where(valid, inter, MAX_FL), intra, coords
+
+            confs, inters, intras, coords = jax.vmap(refine_one)(
+                merged.position, merged.orientation, merged.torsions,
+                merged.energy)
+            return confs, inters, intras, coords
+
+        key = jax.random.PRNGKey(seed if seed is not None else s.seed)
+        confs, inters, intras, coords = program(lig_d, rec_d, key)
+        inters = np.asarray(inters)
+        intras = np.asarray(intras)
+        coords = np.asarray(coords)
+
+        results: List[PoseResult] = []
+        for i in range(num_out):
+            if inters[i] >= MAX_FL:
+                continue
+            e = self._conf_independent(lig, float(inters[i]))
+            c = coords[i][:lig.num_atoms]
+            cnnscore, cnnaff, cnnvar = self._cnn_score(rec, lig, c)
+            results.append(PoseResult(
+                energy=e, intramol=float(intras[i]), cnnscore=cnnscore,
+                cnnaffinity=cnnaff, cnnvariance=cnnvar, coords=c,
+                conf_position=np.asarray(confs.position[i]),
+                conf_orientation=np.asarray(confs.orientation[i]),
+                conf_torsions=np.asarray(confs.torsions[i])[:t]))
+
+        results = self._sort(results)
+        results = self._remove_redundant(results, lig)
+        return results[: s.num_modes]
+
+    def _sort(self, results: List[PoseResult]) -> List[PoseResult]:
+        order = self.settings.sort_order
+        if order == "auto":
+            order = ("CNNscore" if self.cnn is not None
+                     and self.settings.cnn_scoring != "none" else "Energy")
+        if order == "CNNscore":
+            return sorted(results, key=lambda r: -r.cnnscore)
+        if order == "CNNaffinity":
+            return sorted(results, key=lambda r: -r.cnnaffinity)
+        return sorted(results, key=lambda r: r.energy)
+
+    def _remove_redundant(self, results: List[PoseResult],
+                          lig: LigandStruct) -> List[PoseResult]:
+        """remove_redundant (main.cpp:185-195)."""
+        from gnina_tpu.constants import IS_HYDROGEN
+
+        heavy = ~IS_HYDROGEN[lig.types]
+        kept: List[PoseResult] = []
+        for r in results:
+            ok = True
+            for k in kept:
+                d2 = ((r.coords[heavy] - k.coords[heavy]) ** 2).sum(axis=1).mean()
+                if np.sqrt(d2) <= self.settings.out_min_rmsd:
+                    ok = False
+                    break
+            if ok:
+                kept.append(r)
+        return kept
