@@ -1,0 +1,67 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Config: full redock of the 10gs fixture (reference test data) with the
+Vina scoring function, default search effort (exhaustiveness=8, heuristic
+MC steps), --cnn_scoring none.  Metric: ligands docked per second per chip.
+
+vs_baseline is measured against the single-V100 gnina anchor used by
+BASELINE.md (reference publishes no absolute numbers in-tree; we use
+0.033 lig/s ~= 30 s/ligand for a drug-like redock on one V100, the widely
+reported gnina wall time for this fixture class).
+"""
+
+import json
+import os
+import sys
+import time
+
+V100_LIGANDS_PER_SEC = 0.033
+
+
+def main():
+    import numpy as np
+
+    from gnina_tpu.chem import ingest, sdf
+    from gnina_tpu.chem.tree_build import build_tree_from_molecule
+    from gnina_tpu.docking import DockingEngine, DockSettings
+
+    data = "/root/reference/test/gnina/data"
+    if not os.path.exists(data):
+        data = os.path.join(os.path.dirname(__file__), "tests", "data")
+
+    rec = ingest.Receptor.from_file(f"{data}/10gs_rec.pdb")
+    mol = list(sdf.iter_sdf(f"{data}/10gs_lig.sdf"))[0]
+    lig = build_tree_from_molecule(mol)
+    center, size = ingest.autobox_ligand(f"{data}/10gs_lig.sdf")
+
+    eng = DockingEngine(DockSettings(cnn_scoring="none", seed=42))
+
+    # warm-up / compile
+    t0 = time.time()
+    results = eng.dock(rec, lig, center, size, seed=42)
+    compile_and_run = time.time() - t0
+
+    # timed run (compiled)
+    t0 = time.time()
+    results = eng.dock(rec, lig, center, size, seed=43)
+    elapsed = time.time() - t0
+
+    lps = 1.0 / elapsed
+    out = {
+        "metric": "ligands_docked_per_sec",
+        "value": round(lps, 4),
+        "unit": "ligand/s/chip",
+        "vs_baseline": round(lps / V100_LIGANDS_PER_SEC, 2),
+        "detail": {
+            "config": "10gs redock, vina, exhaustiveness=8, cnn=none",
+            "wall_s": round(elapsed, 2),
+            "first_call_s": round(compile_and_run, 2),
+            "num_poses": len(results),
+            "best_affinity": round(results[0].energy, 3) if results else None,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,256 @@
+"""gnina-compatible command-line interface.
+
+Reproduces the reference CLI surface (reference: gninasrc/main/main.cpp
+options at :909-1083) on top of the TPU docking engine.  Flags that concern
+CUDA devices/threads are accepted for compatibility and ignored where
+meaningless on TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from gnina_tpu import __version__
+from gnina_tpu.chem import ingest
+from gnina_tpu.docking import DockingEngine, DockSettings
+from gnina_tpu.output import write_poses_sdf
+from gnina_tpu.scoring.builtin import get_scoring_function, \
+    scoring_function_from_file
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gnina_tpu",
+        description="TPU-native molecular docking with the capabilities of gnina")
+    gin = p.add_argument_group("Input")
+    gin.add_argument("-r", "--receptor", help="rigid receptor (PDB/PDBQT)")
+    gin.add_argument("-l", "--ligand", action="append", default=[],
+                     help="ligand(s) (SDF/MOL/PDBQT/PDB)")
+    gin.add_argument("--flex", help="flexible side chains PDBQT (not yet supported)")
+    gin.add_argument("--flexres", help="flexible residues (chain:resid)")
+    gin.add_argument("--flexdist_ligand", help="ligand for flexdist")
+    gin.add_argument("--flexdist", type=float, default=-1)
+
+    gbox = p.add_argument_group("Search space")
+    gbox.add_argument("--center_x", type=float)
+    gbox.add_argument("--center_y", type=float)
+    gbox.add_argument("--center_z", type=float)
+    gbox.add_argument("--size_x", type=float)
+    gbox.add_argument("--size_y", type=float)
+    gbox.add_argument("--size_z", type=float)
+    gbox.add_argument("--autobox_ligand", help="ligand to autobox around")
+    gbox.add_argument("--autobox_add", type=float, default=4.0)
+    gbox.add_argument("--autobox_extend", type=int, default=1)
+
+    gout = p.add_argument_group("Output")
+    gout.add_argument("-o", "--out", help="output file (SDF)")
+    gout.add_argument("--log", help="log file")
+    gout.add_argument("-q", "--quiet", action="store_true")
+
+    gsc = p.add_argument_group("Scoring and minimization")
+    gsc.add_argument("--scoring", default="default",
+                     help="vina|vinardo|dkoes_scoring|dkoes_fast|ad4_scoring")
+    gsc.add_argument("--custom_scoring", help="custom scoring term file")
+    gsc.add_argument("--score_only", action="store_true")
+    gsc.add_argument("--local_only", action="store_true")
+    gsc.add_argument("--minimize", action="store_true")
+    gsc.add_argument("--randomize_only", action="store_true")
+    gsc.add_argument("--minimize_iters", type=int, default=0)
+    gsc.add_argument("--accurate_line", action="store_true")
+    gsc.add_argument("--force_cap", type=float, default=1000.0)
+
+    gcnn = p.add_argument_group("Convolutional neural net (CNN) scoring")
+    gcnn.add_argument("--cnn_scoring", default="rescore",
+                      choices=["none", "rescore", "refinement",
+                               "metrorescore", "metrorefine", "all"])
+    gcnn.add_argument("--cnn", action="append", default=[],
+                      help="built-in model name(s) or ensemble")
+    gcnn.add_argument("--cnn_rotations", type=int, default=0)
+    gcnn.add_argument("--cnn_center_x", type=float)
+    gcnn.add_argument("--cnn_center_y", type=float)
+    gcnn.add_argument("--cnn_center_z", type=float)
+    gcnn.add_argument("--cnn_verbose", action="store_true")
+
+    gmisc = p.add_argument_group("Misc")
+    gmisc.add_argument("--cpu", type=int, default=0, help="(compat; ignored)")
+    gmisc.add_argument("--seed", type=int, default=0)
+    gmisc.add_argument("--exhaustiveness", type=int, default=8)
+    gmisc.add_argument("--num_modes", type=int, default=9)
+    gmisc.add_argument("--num_mc_steps", type=int, default=0)
+    gmisc.add_argument("--max_mc_steps", type=int, default=0)
+    gmisc.add_argument("--num_mc_saved", type=int, default=50)
+    gmisc.add_argument("--temperature", type=float, default=0)
+    gmisc.add_argument("--min_rmsd_filter", type=float, default=1.0)
+    gmisc.add_argument("--pose_sort_order", default="CNNscore",
+                       choices=["CNNscore", "CNNaffinity", "Energy"])
+    gmisc.add_argument("--no_gpu", action="store_true", help="(compat)")
+    gmisc.add_argument("--device", type=int, default=0, help="(compat)")
+    gmisc.add_argument("--addH", default="on")
+    gmisc.add_argument("--stripH", default="off")
+    gmisc.add_argument("--version", action="version",
+                       version=f"gnina_tpu {__version__}")
+    gmisc.add_argument("--config", help="options file")
+    return p
+
+
+def parse_config_file(path: str, parser: argparse.ArgumentParser,
+                      argv: List[str]) -> List[str]:
+    """--config file: 'name = value' lines prepended to argv."""
+    extra: List[str] = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].strip()
+            if not line:
+                continue
+            if "=" in line:
+                k, v = line.split("=", 1)
+                extra.extend([f"--{k.strip()}", v.strip()])
+            else:
+                extra.append(f"--{line}")
+    return extra + argv
+
+
+class Tee:
+    def __init__(self, logfile: Optional[str], quiet: bool):
+        self.f = open(logfile, "w") if logfile else None
+        self.quiet = quiet
+
+    def write(self, msg: str):
+        if not self.quiet:
+            sys.stdout.write(msg)
+            sys.stdout.flush()
+        if self.f:
+            self.f.write(msg)
+
+    def close(self):
+        if self.f:
+            self.f.close()
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = build_parser()
+    argv = list(sys.argv[1:] if argv is None else argv)
+    args, _unknown = parser.parse_known_args(argv)
+    if args.config:
+        argv = parse_config_file(args.config, parser, argv)
+        args, _unknown = parser.parse_known_args(argv)
+
+    log = Tee(args.log, args.quiet)
+    t_start = time.time()
+
+    if not args.receptor:
+        log.write("ERROR: receptor (-r) required\n")
+        return 1
+    if not args.ligand:
+        log.write("ERROR: ligand (-l) required\n")
+        return 1
+    if args.flex or args.flexres or args.flexdist_ligand:
+        log.write("WARNING: flexible residues not yet supported in this build; "
+                  "treating receptor as rigid\n")
+
+    settings = DockSettings(
+        scoring=args.scoring if args.scoring != "default" else "vina",
+        exhaustiveness=args.exhaustiveness,
+        num_modes=args.num_modes,
+        num_mc_saved=args.num_mc_saved,
+        out_min_rmsd=args.min_rmsd_filter,
+        forcecap=args.force_cap,
+        seed=args.seed,
+        num_mc_steps=args.num_mc_steps,
+        max_mc_steps=args.max_mc_steps,
+        temperature=args.temperature if args.temperature > 0 else 1.2,
+        autobox_add=args.autobox_add,
+        minimize_iters=args.minimize_iters,
+        accurate_line_search=args.accurate_line,
+        cnn_scoring=args.cnn_scoring,
+        cnn_rotations=args.cnn_rotations,
+        sort_order=args.pose_sort_order if args.pose_sort_order else "auto",
+    )
+
+    sf = None
+    if args.custom_scoring:
+        sf = scoring_function_from_file(args.custom_scoring)
+
+    cnn = None
+    if args.cnn_scoring != "none":
+        from gnina_tpu.models.scorer import CNNScorer
+
+        center = None
+        if args.cnn_center_x is not None:
+            center = np.array([args.cnn_center_x, args.cnn_center_y,
+                               args.cnn_center_z], np.float32)
+        cnn = CNNScorer(model_names=args.cnn or None,
+                        rotations=args.cnn_rotations, seed=args.seed,
+                        center=center, verbose=args.cnn_verbose)
+
+    engine = DockingEngine(settings, sf=sf, cnn_scorer=cnn)
+    rec = ingest.Receptor.from_file(args.receptor)
+
+    # search box
+    center = size = None
+    if args.autobox_ligand:
+        center, size = ingest.autobox_ligand(args.autobox_ligand,
+                                             args.autobox_add)
+    elif args.center_x is not None and args.size_x is not None:
+        center = np.array([args.center_x, args.center_y, args.center_z],
+                          np.float32)
+        size = np.array([args.size_x, args.size_y, args.size_z], np.float32)
+
+    cnn_enabled = cnn is not None
+    out_chunks: List[str] = []
+    for ligpath in args.ligand:
+        for lig in ingest.iter_ligands(ligpath):
+            log.write(f"\n## {lig.name}\n")
+            if args.score_only:
+                r = engine.score_only(rec, lig)
+                log.write(f"Affinity: {r.energy:.5f} (kcal/mol)\n")
+                log.write(f"CNNscore: {r.cnnscore:.5f} \n")
+                log.write(f"CNNaffinity: {r.cnnaffinity:.5f}\n")
+                if r.cnnvariance > 0:
+                    log.write(f"CNNvariance: {r.cnnvariance:.5f}\n")
+                log.write(f"Intramolecular energy: {r.intramol:.5f}\n")
+                results = [r]
+            elif args.local_only or args.minimize:
+                r = engine.minimize(rec, lig, center, size)
+                log.write(f"Affinity: {r.energy:.5f}  {r.intramol:.5f} "
+                          f"(kcal/mol)\nRMSD: {r.rmsd:.5f}\n")
+                log.write(f"CNNscore: {r.cnnscore:.5f} \n")
+                log.write(f"CNNaffinity: {r.cnnaffinity:.5f}\n")
+                results = [r]
+            else:
+                if center is None:
+                    log.write("ERROR: search box required (--autobox_ligand "
+                              "or --center/--size)\n")
+                    return 1
+                box_size = size
+                if args.autobox_ligand and args.autobox_extend:
+                    # ensure box fits ligand max span (main.cpp:1479-1484)
+                    span = lig.max_span() + 4
+                    box_size = np.maximum(size, span)
+                results = engine.dock(rec, lig, center, box_size,
+                                      seed=args.seed)
+                log.write("mode |  affinity  |  intramol  |    CNN     |   CNN\n")
+                log.write("     | (kcal/mol) | (kcal/mol) | pose score | affinity\n")
+                log.write("-----+------------+------------+------------+----------\n")
+                for i, r in enumerate(results):
+                    log.write(f"{i + 1:5d} {r.energy:11.2f} {r.intramol:11.2f} "
+                              f"{r.cnnscore:11.4f} {r.cnnaffinity:9.3f}\n")
+            if args.out:
+                out_chunks.append(write_poses_sdf(lig, results, cnn_enabled))
+
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("".join(out_chunks))
+
+    log.write(f"\nLoop time {time.time() - t_start:.2f}\n")
+    log.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

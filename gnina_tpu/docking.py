@@ -310,12 +310,17 @@ class DockingEngine:
         coords = np.asarray(coords)
 
         results: List[PoseResult] = []
-        for i in range(num_out):
-            if inters[i] >= MAX_FL:
-                continue
+        valid_ids = [i for i in range(num_out) if inters[i] < MAX_FL]
+        cnn_scores = {}
+        if valid_ids and self.cnn is not None and self.settings.cnn_scoring != "none":
+            batch = np.stack([coords[i][:lig.num_atoms] for i in valid_ids])
+            sc, aff, _loss, var = self.cnn.score_poses(rec, lig, batch)
+            cnn_scores = {i: (float(sc[j]), float(aff[j]), float(var[j]))
+                          for j, i in enumerate(valid_ids)}
+        for i in valid_ids:
             e = self._conf_independent(lig, float(inters[i]))
             c = coords[i][:lig.num_atoms]
-            cnnscore, cnnaff, cnnvar = self._cnn_score(rec, lig, c)
+            cnnscore, cnnaff, cnnvar = cnn_scores.get(i, (0.0, 0.0, 0.0))
             results.append(PoseResult(
                 energy=e, intramol=float(intras[i]), cnnscore=cnnscore,
                 cnnaffinity=cnnaff, cnnvariance=cnnvar, coords=c,

@@ -1,0 +1,200 @@
+"""CNN ensemble scoring of poses (CNNTorchScorer equivalent).
+
+reference: gninasrc/lib/cnn_torch_scorer.cpp:105-232, torch_model.cpp:153-224.
+
+TPU-native design differences:
+- poses are scored in BATCHES: one voxelization + one conv3d forward per
+  (model-group, rotation) over all poses at once, instead of the reference's
+  sequential per-pose, per-model, per-rotation loop;
+- models sharing the same typer/grid settings share voxelized grids
+  (the reference re-voxelizes per model);
+- gradients (for CNN-guided refinement) come from jax.grad through the
+  voxelizer instead of a hand-written GridMaker backward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnina_tpu.chem.ingest import Receptor
+from gnina_tpu.chem.tree_build import LigandStruct
+from gnina_tpu.models import runtime
+from gnina_tpu.models.registry import CNNModel, expand_model_names, load_model
+from gnina_tpu.ops.voxelize import voxelize
+from gnina_tpu.ops.quat import quaternion_to_matrix, random_orientation
+
+
+def _pose_from_outputs(model: CNNModel, outputs):
+    out0 = outputs[0]  # (B,2): log-probs for standard models
+    if model.skip_softmax:
+        pose = out0[:, 1]
+    else:
+        pose = jax.nn.softmax(out0, axis=1)[:, 1]
+    affinity = outputs[1] if len(outputs) > 1 else jnp.zeros_like(pose)
+    if affinity.ndim == 0:
+        affinity = affinity[None]
+    if model.apply_logistic_loss:
+        loss = -jnp.log(jnp.maximum(out0[:, 1], 1e-30))
+    else:
+        # torch cross_entropy applies log_softmax to its input; the model
+        # output is already log_softmax-ed, so the reference effectively
+        # double-normalizes (torch_model.cpp:196) — reproduce exactly.
+        loss = -jax.nn.log_softmax(out0, axis=1)[:, 1]
+    return pose, affinity, loss
+
+
+class CNNScorer:
+    """Scores ligand poses against a rigid receptor with a CNN ensemble."""
+
+    def __init__(self, model_names: Optional[Sequence[str]] = None,
+                 rotations: int = 0, seed: int = 0,
+                 center: Optional[np.ndarray] = None, verbose: bool = False):
+        names = expand_model_names(list(model_names or []))
+        self.models: List[CNNModel] = [load_model(n) for n in names]
+        self.rotations = max(rotations, 1)
+        self.explicit_rotations = rotations
+        self.seed = seed
+        self.fixed_center = center
+        self.verbose = verbose
+        self._jit_cache = {}
+
+    # -- host-side preparation ------------------------------------------------
+
+    def _receptor_arrays(self, rec: Receptor, centers: np.ndarray):
+        """Prune receptor to the union of pose grid boxes and pad."""
+        max_dim = max(m.dimension for m in self.models)
+        margin = max_dim / 2 + 4.0
+        lo = centers.min(axis=0) - margin
+        hi = centers.max(axis=0) + margin
+        keep = np.all((rec.coords >= lo) & (rec.coords <= hi), axis=1)
+        coords = rec.coords[keep]
+        types = rec.types[keep]
+        k = max(((len(types) + 255) // 256) * 256, 256)
+        pad = k - len(types)
+        return (np.pad(coords, ((0, pad), (0, 0))).astype(np.float32),
+                np.pad(types, (0, pad)).astype(np.int32),
+                np.pad(np.ones(len(types), bool), (0, pad)))
+
+    # -- main scoring ----------------------------------------------------------
+
+    def score_poses(self, rec: Receptor, lig: LigandStruct,
+                    coords_batch: np.ndarray):
+        """Score (B,N,3) ligand pose coordinates.
+
+        Returns (score (B,), affinity (B,), loss (B,), variance (B,)).
+        """
+        coords_batch = np.asarray(coords_batch, np.float32)
+        if coords_batch.ndim == 2:
+            coords_batch = coords_batch[None]
+        b, n_atoms = coords_batch.shape[0], coords_batch.shape[1]
+
+        # grid center per pose: mean over all ligand atoms (libmolgrid
+        # CoordinateSet::center with hydrogens included)
+        if self.fixed_center is not None:
+            centers = np.tile(np.asarray(self.fixed_center, np.float32), (b, 1))
+        else:
+            centers = coords_batch.mean(axis=1)
+
+        rec_coords, rec_types, rec_mask = self._receptor_arrays(rec, centers)
+        fn = self._get_program(b, n_atoms, rec_coords.shape[0])
+        score, affinity, loss, variance = fn(
+            jnp.asarray(rec_coords), jnp.asarray(rec_types),
+            jnp.asarray(rec_mask), jnp.asarray(coords_batch),
+            jnp.asarray(lig.types), jnp.asarray(centers),
+            jax.random.PRNGKey(self.seed))
+        return (np.asarray(score), np.asarray(affinity), np.asarray(loss),
+                np.asarray(variance))
+
+    def score_pose(self, rec: Receptor, lig: LigandStruct, coords: np.ndarray
+                   ) -> Tuple[float, float, float]:
+        """Single pose -> (score, affinity, variance); DLScorer::score shape."""
+        s, a, _l, v = self.score_poses(rec, lig, coords[None])
+        return float(s[0]), float(a[0]), float(v[0])
+
+    # -- compiled program -------------------------------------------------------
+
+    def _get_program(self, b: int, n: int, k: int):
+        key = (b, n, k)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._build_program())
+        return self._jit_cache[key]
+
+    def _build_program(self):
+        models = self.models
+        rotations = self.rotations
+
+        # group models by voxelization settings
+        groups = {}
+        for mi, m in enumerate(models):
+            gkey = (m.rec_typer.num_channels, m.lig_typer.num_channels,
+                    m.resolution, m.dimension, m.radius_scale,
+                    tuple(m.rec_typer.table), tuple(m.lig_typer.table))
+            groups.setdefault(gkey, []).append(mi)
+
+        def program(rec_coords, rec_types, rec_mask, lig_coords_b, lig_types,
+                    centers, rng):
+            b = lig_coords_b.shape[0]
+            scores = []
+            affinities = []
+            losses = []
+
+            rot_keys = jax.random.split(rng, rotations)
+
+            for gkey, model_ids in groups.items():
+                m0 = models[model_ids[0]]
+                nrec = m0.rec_typer.num_channels
+                rec_chan = jnp.asarray(m0.rec_typer.table)[rec_types]
+                lig_chan_raw = jnp.asarray(m0.lig_typer.table)[lig_types]
+                lig_chan = jnp.where(lig_chan_raw >= 0, lig_chan_raw + nrec, -1)
+                rec_radii = jnp.asarray(m0.rec_typer.radii)[rec_types]
+                lig_radii = jnp.asarray(m0.lig_typer.radii)[lig_types]
+                nchan = m0.num_channels
+                npts = m0.grid_points
+
+                channels = jnp.concatenate([rec_chan, jnp.broadcast_to(
+                    lig_chan, lig_chan.shape)])
+                radii = jnp.concatenate([rec_radii, lig_radii])
+                mask = jnp.concatenate(
+                    [rec_mask, jnp.ones(lig_chan.shape[0], bool)])
+
+                for r in range(rotations):
+                    def one_pose(lig_xyz, center, rkey):
+                        rec_xyz = rec_coords
+                        if r > 0:
+                            q = random_orientation(rkey)
+                            rot = quaternion_to_matrix(q)
+                            rec_xyz = (rec_xyz - center) @ rot.T + center
+                            lig_xyz = (lig_xyz - center) @ rot.T + center
+                        allc = jnp.concatenate([rec_xyz, lig_xyz])
+                        return voxelize(allc, channels, radii, mask, center,
+                                        num_channels=nchan, npoints=npts,
+                                        resolution=m0.resolution,
+                                        radius_scale=m0.radius_scale)
+
+                    pose_keys = jax.random.split(rot_keys[r], b)
+                    grids = jax.vmap(one_pose)(lig_coords_b, centers, pose_keys)
+
+                    for mi in model_ids:
+                        m = models[mi]
+                        outputs = runtime.execute(m.spec, m.params, grids)
+                        pose, aff, loss = _pose_from_outputs(m, outputs)
+                        scores.append(pose)
+                        affinities.append(aff)
+                        losses.append(loss)
+
+            score = jnp.mean(jnp.stack(scores), axis=0)
+            affs = jnp.stack(affinities)       # (M*R, B)
+            affinity = jnp.mean(affs, axis=0)
+            loss = jnp.mean(jnp.stack(losses), axis=0)
+            if affs.shape[0] > 1:
+                variance = jnp.mean((affs - affinity[None]) ** 2, axis=0)
+            else:
+                variance = jnp.zeros_like(affinity)
+            return score, affinity, loss, variance
+
+        return program

@@ -1,0 +1,93 @@
+"""Atom-density voxelization (libmolgrid GridMaker equivalent), TPU-native.
+
+Produces the (C, n, n, n) Gaussian atom-density grids consumed by the CNN
+scorers (reference: external libmolgrid GridMaker, used via
+gninasrc/lib/torch_model.cpp:153-224 and gninagrid/molgridder.cpp).
+
+Density model (libmolgrid defaults: binary=False,
+gaussian_radius_multiple g=1, final_radius_multiple 1.5):
+    d <= r   : exp(-2 d^2 / r^2)
+    d <= 1.5r: (4/e^2)(d/r)^2 - (12/e^2)(d/r) + 9/e^2   (C1-continuous tail)
+    else     : 0
+
+TPU mapping: the pairwise point-atom distance matrix is built from a
+(P,3)x(3,A) matmul (MXU), the density is elementwise (VPU), and the
+channel reduction is a (P,A)x(A,C) one-hot matmul (MXU), scanned over z
+slabs to bound memory.  Fully differentiable: jax.grad provides the
+atom-coordinate gradients that libmolgrid's backward pass computes by hand.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_E2 = float(np.exp(-2.0))
+
+
+def grid_points_1d(center: float, n: int, resolution: float):
+    """Grid node coordinates along one axis; origin = center - dim/2 with
+    dim = (n-1)*resolution (libmolgrid convention: dimension/res + 1 pts)."""
+    origin = center - resolution * (n - 1) / 2.0
+    return origin + resolution * jnp.arange(n, dtype=jnp.float32)
+
+
+def density_at(d2, radius):
+    """Gaussian-with-quadratic-tail density as a function of squared dist."""
+    r2 = radius * radius
+    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    gauss = jnp.exp(-2.0 * d2 / r2)
+    dr = d / radius
+    quad = (4.0 * _E2) * dr * dr - (12.0 * _E2) * dr + 9.0 * _E2
+    val = jnp.where(d <= radius, gauss, jnp.where(d <= 1.5 * radius, quad, 0.0))
+    return val
+
+
+def voxelize(coords, channels, radii, mask, center, num_channels: int,
+             npoints: int = 48, resolution: float = 0.5,
+             radius_scale: float = 1.0):
+    """Density grid (C, n, n, n) for one molecule/complex.
+
+    coords: (A,3); channels: (A,) int, -1 = skip; radii: (A,); mask: (A,) bool;
+    center: (3,).
+    """
+    a = coords.shape[0]
+    r = radii * radius_scale
+    valid = jnp.logical_and(mask, channels >= 0)
+    onehot = jax.nn.one_hot(jnp.where(valid, channels, num_channels),
+                            num_channels + 1, dtype=jnp.float32)[:, :num_channels]
+
+    xs = grid_points_1d(center[0], npoints, resolution)
+    ys = grid_points_1d(center[1], npoints, resolution)
+    zs = grid_points_1d(center[2], npoints, resolution)
+
+    # per x-slab: points (n^2, 3) for fixed x
+    yz = jnp.stack(jnp.meshgrid(ys, zs, indexing="ij"), axis=-1).reshape(-1, 2)
+
+    def slab(x):
+        pts = jnp.concatenate(
+            [jnp.full((yz.shape[0], 1), x), yz], axis=1)  # (n^2,3)
+        # squared distances via expansion; the cross term is a matmul
+        d2 = (jnp.sum(pts * pts, axis=1)[:, None]
+              + jnp.sum(coords * coords, axis=1)[None, :]
+              - 2.0 * pts @ coords.T)  # (n^2, A)
+        dens = density_at(jnp.maximum(d2, 0.0), r[None, :])
+        out = dens @ onehot  # (n^2, C)
+        return out.reshape(npoints, npoints, num_channels)
+
+    grid = jax.lax.map(slab, xs)  # (n, n, n, C) with axes (x,y,z,C)
+    return jnp.transpose(grid, (3, 0, 1, 2))
+
+
+def voxelize_batch(coords, channels, radii, mask, centers, num_channels: int,
+                   npoints: int = 48, resolution: float = 0.5,
+                   radius_scale: float = 1.0):
+    """vmapped voxelize over a leading batch dimension."""
+    fn = functools.partial(voxelize, num_channels=num_channels,
+                           npoints=npoints, resolution=resolution,
+                           radius_scale=radius_scale)
+    return jax.vmap(fn)(coords, channels, radii, mask, centers)
