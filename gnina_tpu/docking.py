@@ -234,7 +234,10 @@ class DockingEngine:
                 def f(c):
                     return efn.eval_deriv(lig_d, rec_d, c, box, slope, cap)
 
-                res = bfgs(f, conf, minpar)
+                def fv(c):
+                    return efn.eval_energy(lig_d, rec_d, c, box, slope, cap)
+
+                res = bfgs(f, conf, minpar, f_val=fv)
                 new_done = within(res.x)
                 conf2 = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(done, old, new), res.x, conf)
@@ -279,6 +282,8 @@ class DockingEngine:
                     lig_d, rec_d, conf, box, slope, v),
                 "eval_inter": lambda conf, v1: efn.eval_inter(
                     lig_d, rec_d, conf, box, slope, v1),
+                "eval_energy": lambda conf, v: efn.eval_energy(
+                    lig_d, rec_d, conf, box, slope, v),
             }
             keys = jax.random.split(key, s.exhaustiveness)
             chains = jax.vmap(lambda k: mc.run_mc_chain(

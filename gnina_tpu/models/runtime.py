@@ -34,6 +34,8 @@ def _resolve(arg, env, params):
 
 
 def _pool_dims(kernel, stride, pad):
+    if not stride:  # torch semantics: empty stride list means stride=kernel
+        stride = kernel
     window = (1, 1) + tuple(kernel)
     strides = (1, 1) + tuple(stride)
     padding = ((0, 0), (0, 0)) + tuple((p, p) for p in pad)

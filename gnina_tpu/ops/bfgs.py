@@ -8,6 +8,11 @@ over thousands of poses and `jit`ed as part of the full docking program.
 The D x D inverse-Hessian update is a few fused outer products — ideal VPU
 work; all control flow is `lax.while_loop` with per-lane masking.
 
+Cost note: the reference evaluates energy AND gradient at every line-search
+trial but only consumes the gradient of the accepted point; here trials are
+forward-only and the gradient is computed once after acceptance — same
+floats, ~2-3x fewer FLOPs per trial.
+
 NaN-safety: the final "restore if not improved" check (bfgs.h:491-495)
 is preserved — it also recovers from NaN energies.
 """
@@ -15,7 +20,7 @@ is preserved — it also recovers from NaN energies.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,11 +41,10 @@ class MinimizeParams:
 class LineSearchResult(NamedTuple):
     alpha: jnp.ndarray
     x_new: Conf
-    g_new: jnp.ndarray
     f1: jnp.ndarray
 
 
-def fast_line_search(f: Callable, x: Conf, g, f0, p) -> LineSearchResult:
+def fast_line_search(f_val: Callable, x: Conf, g, f0, p) -> LineSearchResult:
     """Backtracking Armijo search (bfgs.h:73-91): up to 10 halvings."""
     c0 = 1e-4
     pg = jnp.dot(p, g)
@@ -50,33 +54,31 @@ def fast_line_search(f: Callable, x: Conf, g, f0, p) -> LineSearchResult:
         return jnp.logical_and(trial < 10, jnp.logical_not(done))
 
     def body(state):
-        trial, alpha, done, best = state
+        trial, alpha, done, _best = state
         x_new = conf_increment(x, p, alpha)
-        f1, g_new = f(x_new)
+        f1 = f_val(x_new)
         accept = (f1 - f0) < c0 * alpha * pg
-        best = LineSearchResult(alpha=alpha, x_new=x_new, g_new=g_new, f1=f1)
+        best = LineSearchResult(alpha=alpha, x_new=x_new, f1=f1)
         alpha_next = jnp.where(accept, alpha, alpha * 0.5)
         return trial + 1, alpha_next, accept, best
 
-    # seed with one evaluation at alpha=1 so the carry is well-typed
     x1 = conf_increment(x, p, jnp.float32(1.0))
-    f1, g1 = f(x1)
+    f1 = f_val(x1)
     accept0 = (f1 - f0) < c0 * 1.0 * pg
     init = (jnp.int32(1), jnp.where(accept0, 1.0, 0.5).astype(jnp.float32),
-            accept0, LineSearchResult(jnp.float32(1.0), x1, g1, f1))
+            accept0, LineSearchResult(jnp.float32(1.0), x1, f1))
     _, alpha, _, best = jax.lax.while_loop(cond, body, init)
-    return LineSearchResult(alpha=alpha, x_new=best.x_new, g_new=best.g_new,
-                            f1=best.f1)
+    return LineSearchResult(alpha=alpha, x_new=best.x_new, f1=best.f1)
 
 
-def accurate_line_search(f: Callable, x: Conf, g, f0, p) -> LineSearchResult:
+def accurate_line_search(f_val: Callable, x: Conf, g, f0, p) -> LineSearchResult:
     """Numerical-Recipes style lnsrch (bfgs.h:107-180).
 
-    Guarantees sufficient decrease or returns alpha=0 with zeroed gradient.
+    Guarantees sufficient decrease or returns alpha=0 (caller zeroes the
+    gradient in that case, matching the reference).
     """
     ALF = 1e-4
     slope = jnp.dot(g, p)
-    # lambdamin
     xflat = flatten_conf(x)
     test = jnp.max(jnp.abs(p) / jnp.maximum(jnp.abs(xflat), 1.0))
     alamin = EPSILON_FL / jnp.maximum(test, EPSILON_FL)
@@ -88,12 +90,11 @@ def accurate_line_search(f: Callable, x: Conf, g, f0, p) -> LineSearchResult:
     def body(state):
         it, alpha, alpha2, f2, done, best = state
         x_new = conf_increment(x, p, alpha)
-        f1, g_new = f(x_new)
+        f1 = f_val(x_new)
         too_small = jnp.logical_or(alpha < alamin, ~jnp.isfinite(alpha))
         sufficient = f1 <= f0 + ALF * alpha * slope
         finish = jnp.logical_or(too_small, sufficient)
 
-        # cubic backtrack
         first = it == 0
         tmplam_first = -slope / (2.0 * (f1 - f0 - slope))
         rhs1 = f1 - f0 - alpha * slope
@@ -112,12 +113,11 @@ def accurate_line_search(f: Callable, x: Conf, g, f0, p) -> LineSearchResult:
         tmplam_sub = jnp.minimum(tmplam_sub, 0.5 * alpha)
         tmplam = jnp.where(first, tmplam_first, tmplam_sub)
 
-        zero_out = too_small  # alpha -> 0, clear gradient
+        zero_out = too_small
         res = LineSearchResult(
             alpha=jnp.where(zero_out, 0.0, alpha),
             x_new=jax.tree_util.tree_map(
                 lambda a0, a1: jnp.where(zero_out, a0, a1), x, x_new),
-            g_new=jnp.where(zero_out, jnp.zeros_like(g_new), g_new),
             f1=jnp.where(zero_out, f0, f1),
         )
         best = jax.tree_util.tree_map(
@@ -127,7 +127,7 @@ def accurate_line_search(f: Callable, x: Conf, g, f0, p) -> LineSearchResult:
                 jnp.logical_or(done, finish), best)
 
     wrong_dir = slope >= 0
-    dummy = LineSearchResult(jnp.float32(0.0), x, jnp.zeros_like(g), f0)
+    dummy = LineSearchResult(jnp.float32(0.0), x, f0)
     init = (jnp.int32(0), jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0),
             wrong_dir, dummy)
     _, _, _, _, _, best = jax.lax.while_loop(cond, body, init)
@@ -149,12 +149,17 @@ class BfgsResult(NamedTuple):
 
 
 def bfgs(f: Callable, x0: Conf, params: MinimizeParams,
-         dof_mask=None) -> BfgsResult:
+         dof_mask=None, f_val: Optional[Callable] = None) -> BfgsResult:
     """Minimize f over pose DOF starting at x0 (bfgs.h:357-502).
 
     f: Conf -> (energy, flat gradient (D,)).
+    f_val: optional forward-only energy (defaults to f's first output).
     dof_mask: optional (D,) bool of active DOF (padded torsions False).
     """
+    if f_val is None:
+        def f_val(c):
+            return f(c)[0]
+
     f0_init, g_init = f(x0)
     d = g_init.shape[-1]
     if dof_mask is not None:
@@ -179,14 +184,17 @@ def bfgs(f: Callable, x0: Conf, params: MinimizeParams,
         p = -(s.h @ s.g)
         if dof_mask is not None:
             p = jnp.where(dof_mask, p, 0.0)
-        ls = line_search(f, s.x, s.g, s.f0, p)
-        g_new = ls.g_new
+        ls = line_search(f_val, s.x, s.g, s.f0, p)
+        alpha = ls.alpha
+        wrong_dir = alpha == 0.0
+
+        # gradient at the accepted point (forward trials skipped it)
+        f1g, g_new = f(ls.x_new)
         if dof_mask is not None:
             g_new = jnp.where(dof_mask, g_new, 0.0)
+        g_new = jnp.where(wrong_dir, jnp.zeros_like(g_new), g_new)
         y = g_new - s.g
-        alpha = ls.alpha
 
-        wrong_dir = alpha == 0.0
         f0_new = jnp.where(wrong_dir, s.f0, ls.f1)
         x_new = jax.tree_util.tree_map(
             lambda old, new: jnp.where(wrong_dir, old, new), s.x, ls.x_new)

@@ -29,9 +29,11 @@ def fk_node_frames(lig: LigandData, conf: Conf, max_layers: int):
     # torsion for node i (i>=1) is torsions[i-1]
     torsions = jnp.concatenate([jnp.zeros((1,), jnp.float32), conf.torsions])
 
-    def layer_step(carry, l):
-        origins, quats = carry
-        parent = jnp.maximum(lig.parent, 0)
+    # statically unrolled over layers (max_layers is small): avoids scan
+    # overhead and lets XLA fuse the whole FK into a handful of kernels
+    parent = jnp.maximum(lig.parent, 0)
+    origins, quats = origins0, quats0
+    for l in range(1, max_layers + 1):
         p_origin = origins[parent]          # (M,3)
         p_quat = quats[parent]              # (M,4)
         new_origin = p_origin + Q.qrotate(p_quat, lig.rel_origin)
@@ -41,10 +43,6 @@ def fk_node_frames(lig: LigandData, conf: Conf, max_layers: int):
         upd = (lig.layer == l)[:, None]
         origins = jnp.where(upd, new_origin, origins)
         quats = jnp.where(upd, new_quat, quats)
-        return (origins, quats), None
-
-    (origins, quats), _ = jax.lax.scan(
-        layer_step, (origins0, quats0), jnp.arange(1, max_layers + 1))
     return origins, quats
 
 

@@ -166,6 +166,7 @@ def run_mc_chain(key, lig: LigandData, energy_fn, params: MCParams,
     """
     eval_deriv = energy_fn["eval_deriv"]
     eval_inter = energy_fn["eval_inter"]
+    eval_energy = energy_fn.get("eval_energy")
 
     t = lig.num_torsion_slots
     n = lig.types.shape[0]
@@ -177,6 +178,9 @@ def run_mc_chain(key, lig: LigandData, energy_fn, params: MCParams,
 
     def f_full(conf):
         return eval_deriv(conf, authentic_v)
+
+    fv_hunt = (lambda c: eval_energy(c, hunt_cap)) if eval_energy else None
+    fv_full = (lambda c: eval_energy(c, authentic_v)) if eval_energy else None
 
     k_init, k_loop = jax.random.split(key)
     conf0 = randomize_conf(k_init, lig, corner1, corner2, t)
@@ -193,7 +197,7 @@ def run_mc_chain(key, lig: LigandData, energy_fn, params: MCParams,
         k1, k2 = jax.random.split(k)
         cand = mutate_conf(k1, carry.conf, lig, params.mutation_amplitude,
                            num_real_torsions, max_layers)
-        res = bfgs(f_hunt, cand, params.minparams, dof_mask)
+        res = bfgs(f_hunt, cand, params.minparams, dof_mask, f_val=fv_hunt)
         cand = res.x
         cand_e = eval_inter(cand, authentic_v[1])
 
@@ -208,7 +212,7 @@ def run_mc_chain(key, lig: LigandData, energy_fn, params: MCParams,
         promising = jnp.logical_and(
             accept, jnp.logical_or(cand_e < carry.best_e, has_empty))
 
-        refined = bfgs(f_full, cand, params.minparams, dof_mask)
+        refined = bfgs(f_full, cand, params.minparams, dof_mask, f_val=fv_full)
         ref_e = eval_inter(refined.x, authentic_v[1])
 
         use_ref = promising

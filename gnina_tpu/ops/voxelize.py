@@ -49,12 +49,16 @@ def density_at(d2, radius):
 
 def voxelize(coords, channels, radii, mask, center, num_channels: int,
              npoints: int = 48, resolution: float = 0.5,
-             radius_scale: float = 1.0):
+             radius_scale: float = 1.0, precision=None):
     """Density grid (C, n, n, n) for one molecule/complex.
 
     coords: (A,3); channels: (A,) int, -1 = skip; radii: (A,); mask: (A,) bool;
     center: (3,).
     """
+    # HIGHEST precision by default: the MXU's bf16 passes perturb densities
+    # by ~3e-2, far beyond the 1e-4 grid-parity bar (compare_bin.py:23)
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     a = coords.shape[0]
     r = radii * radius_scale
     valid = jnp.logical_and(mask, channels >= 0)
@@ -74,9 +78,9 @@ def voxelize(coords, channels, radii, mask, center, num_channels: int,
         # squared distances via expansion; the cross term is a matmul
         d2 = (jnp.sum(pts * pts, axis=1)[:, None]
               + jnp.sum(coords * coords, axis=1)[None, :]
-              - 2.0 * pts @ coords.T)  # (n^2, A)
+              - 2.0 * jnp.matmul(pts, coords.T, precision=precision))
         dens = density_at(jnp.maximum(d2, 0.0), r[None, :])
-        out = dens @ onehot  # (n^2, C)
+        out = jnp.matmul(dens, onehot, precision=precision)  # (n^2, C)
         return out.reshape(npoints, npoints, num_channels)
 
     grid = jax.lax.map(slab, xs)  # (n, n, n, C) with axes (x,y,z,C)
@@ -85,9 +89,9 @@ def voxelize(coords, channels, radii, mask, center, num_channels: int,
 
 def voxelize_batch(coords, channels, radii, mask, centers, num_channels: int,
                    npoints: int = 48, resolution: float = 0.5,
-                   radius_scale: float = 1.0):
+                   radius_scale: float = 1.0, precision=None):
     """vmapped voxelize over a leading batch dimension."""
     fn = functools.partial(voxelize, num_channels=num_channels,
                            npoints=npoints, resolution=resolution,
-                           radius_scale=radius_scale)
+                           radius_scale=radius_scale, precision=precision)
     return jax.vmap(fn)(coords, channels, radii, mask, centers)
