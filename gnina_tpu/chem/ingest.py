@@ -53,11 +53,17 @@ class Receptor:
         return cls(mol=mol, coords=mol.coords(), types=types, charges=charges)
 
     def pruned(self, center: np.ndarray, half_span: np.ndarray,
-               margin: float = 8.0) -> "Receptor":
-        """Keep atoms within box + cutoff margin (szv_grid-style pruning)."""
+               margin: float = 8.0, drop_hydrogens: bool = True) -> "Receptor":
+        """Keep atoms within box + cutoff margin (szv_grid-style pruning).
+
+        Hydrogens are dropped by default: every energy path skips them
+        (non_cache.cpp:59), so carrying them only inflates the pair tensor.
+        """
         lo = center - half_span - margin
         hi = center + half_span + margin
         keep = np.all((self.coords >= lo) & (self.coords <= hi), axis=1)
+        if drop_hydrogens:
+            keep &= ~IS_HYDROGEN[self.types]
         idx = np.where(keep)[0]
         sub = Molecule(name=self.mol.name)
         sub.atoms = [self.mol.atoms[i] for i in idx]

@@ -215,6 +215,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                     log.write(f"CNNvariance: {r.cnnvariance:.5f}\n")
                 log.write(f"Intramolecular energy: {r.intramol:.5f}\n")
                 results = [r]
+            elif args.randomize_only:
+                if center is None:
+                    lo = lig.orig_coords.min(axis=0) - args.autobox_add
+                    hi = lig.orig_coords.max(axis=0) + args.autobox_add
+                    rcenter, rsize = (lo + hi) / 2, hi - lo
+                else:
+                    rcenter, rsize = center, size
+                results = [engine.randomize(rec, lig, rcenter, rsize,
+                                            seed=args.seed + i)
+                           for i in range(args.num_modes)]
+                for r in results:
+                    log.write(f"Clash penalty: {r.energy:.5f}\n")
             elif args.local_only or args.minimize:
                 r = engine.minimize(rec, lig, center, size)
                 log.write(f"Affinity: {r.energy:.5f}  {r.intramol:.5f} "

@@ -251,18 +251,150 @@ class DockingEngine:
 
         return refine
 
+    # -- CNN objective (non_cache_cnn equivalent) ------------------------------
+
+    def _build_cnn_objective(self, rec: Receptor, lig: LigandStruct,
+                             lig_d: LigandData, box: Box, max_layers: int):
+        """CNN loss + out-of-bounds penalties as a differentiable objective
+        (reference: non_cache_cnn.cpp:33-169).
+
+        Returns dict with:
+          value(conf, center, slope) -> loss + penalties
+          deriv(conf, center, slope) -> (value, grad over DOF)
+          center_of(conf) -> heavy-atom centroid (set_center_from_model)
+        """
+        margin = self.cnn.max_dimension / 2 + 6.0
+        lo = np.asarray(box.lo) - margin
+        hi = np.asarray(box.hi) + margin
+        keep = np.all((rec.coords >= lo) & (rec.coords <= hi), axis=1)
+        k = _round_up(int(keep.sum()), 256)
+        pad = k - int(keep.sum())
+        rc = np.pad(rec.coords[keep], ((0, pad), (0, 0)))
+        rt = np.pad(rec.types[keep], (0, pad))
+        rm = np.pad(np.ones(int(keep.sum()), bool), (0, pad))
+        loss_fn = self.cnn.make_loss_fn(rc, rt, rm, lig_d.types)
+        half_dim = self.cnn.max_dimension / 2.0
+
+        def center_of(conf: Conf):
+            coords = fk.fk_coords(lig_d, conf, max_layers)
+            cnt = jnp.maximum(jnp.sum(lig_d.heavy_mask), 1)
+            return jnp.sum(jnp.where(lig_d.heavy_mask[:, None], coords, 0.0),
+                           axis=0) / cnt
+
+        def value(conf: Conf, center, slope):
+            coords = fk.fk_coords(lig_d, conf, max_layers)
+            # search-box + cnn-box linear penalties per heavy atom
+            def oob(lo_, hi_):
+                adj = jnp.clip(coords, lo_, hi_)
+                d = jnp.sum(jnp.abs(coords - adj), axis=-1)
+                return jnp.sum(jnp.where(lig_d.heavy_mask, d, 0.0))
+
+            pen = slope * (oob(box.lo, box.hi)
+                           + oob(center - half_dim, center + half_dim))
+            return loss_fn(coords, lig_d.atom_mask, center) + pen
+
+        def deriv(conf: Conf, center, slope):
+            t = conf.torsions.shape[-1]
+
+            def f(eps):
+                return value(fk.conf_with_increment_var(conf, eps), center,
+                             slope)
+
+            return jax.value_and_grad(f)(jnp.zeros((6 + t,), jnp.float32))
+
+        return {"value": value, "deriv": deriv, "center_of": center_of}
+
+    # -- randomize only -------------------------------------------------------
+
+    def randomize(self, rec: Receptor, lig: LigandStruct, center, size,
+                  seed: int = 0, attempts: int = 100) -> PoseResult:
+        """--randomize_only (main.cpp:100-129): random conf minimizing the
+        pairwise clash penalty over `attempts` tries."""
+        lig_d, rec_d, box, max_layers, _ = self._prepare(rec, lig, center, size)
+        tp = lig_d.num_torsion_slots
+        cov = jnp.asarray(self.sf.table.covalent_radius)[lig_d.types]
+
+        def clash_penalty(conf):
+            """model.cpp:1173-1201: 1 - (r/cov_r)^2/4 capped at 0 beyond 2x."""
+            coords = fk.fk_coords(lig_d, conf, max_layers)
+            ca = coords[lig_d.pair_a]
+            cb = coords[lig_d.pair_b]
+            r = jnp.sqrt(jnp.maximum(
+                jnp.sum((ca - cb) ** 2, axis=-1), 1e-12))
+            cr = cov[lig_d.pair_a] + cov[lig_d.pair_b]
+            x = r / jnp.maximum(cr, 1e-6)
+            pen = jnp.where(x > 2.0, 0.0, 1.0 - x * x / 4.0)
+            return jnp.sum(jnp.where(lig_d.pair_mask, pen, 0.0))
+
+        @jax.jit
+        def program(key):
+            keys = jax.random.split(key, attempts)
+            confs = jax.vmap(lambda k: mc.randomize_conf(
+                k, lig_d, box.lo, box.hi, tp))(keys)
+            pens = jax.vmap(clash_penalty)(confs)
+            best = jnp.argmin(pens)
+            return jax.tree_util.tree_map(lambda a: a[best], confs), pens[best]
+
+        conf, pen = program(jax.random.PRNGKey(seed))
+        coords = np.asarray(fk.fk_coords(lig_d, conf, max_layers))[:lig.num_atoms]
+        return PoseResult(energy=float(pen), intramol=0.0, cnnscore=-1.0,
+                          cnnaffinity=0.0, cnnvariance=0.0, coords=coords,
+                          conf_position=np.asarray(conf.position),
+                          conf_orientation=np.asarray(conf.orientation),
+                          conf_torsions=np.asarray(conf.torsions)[:lig.num_torsions])
+
     # -- full docking ---------------------------------------------------------
 
     def dock(self, rec: Receptor, lig: LigandStruct, center, size,
              seed: Optional[int] = None) -> List[PoseResult]:
+        return self.dock_batch(rec, [lig], center, size, seed=seed)[0]
+
+    def dock_batch(self, rec: Receptor, ligs: List[LigandStruct], center,
+                   size, seed: Optional[int] = None) -> List[List[PoseResult]]:
+        """Dock a batch of ligands against one receptor/box in ONE compiled
+        program: (ligands x exhaustiveness) MC chains run as a single 2D
+        batch on the accelerator.  This is the throughput path — the
+        reference's ligand work-queue + thread pool (main.cpp:1418-1510)
+        collapses into a batch dimension.
+
+        All ligands share the MC step count (max of the per-ligand
+        heuristics, main.cpp:449-456) so the batch stays rectangular.
+        """
         s = self.settings
-        lig_d, rec_d, box, max_layers, n_pad = self._prepare(rec, lig, center, size)
-        efn = make_energy_fn(self.sf, max_layers)
-        t = lig.num_torsions
-        tp = lig_d.num_torsion_slots
-        dof_mask = jnp.arange(6 + tp) < 6 + t
-        num_steps = _num_steps_heuristic(lig, s)
-        miniters = _minimize_iters_heuristic(lig, s)
+        assert ligs, "empty ligand batch"
+
+        # common shape bucket
+        n = _round_up(max(l.num_atoms for l in ligs), 8)
+        m = _round_up(max(l.num_nodes for l in ligs), 4)
+        p = _round_up(max(max(len(l.pairs) for l in ligs), 1), 32)
+        max_layers = _round_up(max(int(l.layer.max()) if l.num_nodes > 1 else 1
+                                   for l in ligs), 4)
+        pruned = rec.pruned(np.asarray(center), np.asarray(size) / 2,
+                            margin=self.sf.cutoff)
+        k = _round_up(len(pruned.types), 256)
+        rec_d = pad_receptor(pruned.coords, pruned.types, pruned.charges, k)
+        lo, hi = box_from_center_size(center, size)
+        box = Box(lo=jnp.asarray(lo), hi=jnp.asarray(hi))
+
+        lig_ds = [pad_ligand(l, n, m, p) for l in ligs]
+        lig_batch = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *lig_ds)
+        tp = m - 1
+        dof_masks = jnp.stack([jnp.arange(6 + tp) < 6 + l.num_torsions
+                               for l in ligs])
+        num_tors_b = jnp.asarray([l.num_torsions for l in ligs], jnp.int32)
+
+        num_steps = max(_num_steps_heuristic(l, s) for l in ligs)
+        miniters = max(_minimize_iters_heuristic(l, s) for l in ligs)
+        results_b = self._run_dock_program(
+            rec, ligs, lig_batch, dof_masks, num_tors_b, rec_d, box,
+            max_layers, num_steps, miniters, seed)
+        return results_b
+
+    def _run_dock_program(self, rec, ligs, lig_batch, dof_masks, num_tors_b,
+                          rec_d, box, max_layers, num_steps, miniters,
+                          seed: Optional[int]) -> List[List[PoseResult]]:
+        s = self.settings
         minpar = MinimizeParams(
             maxiters=miniters,
             type="accurate" if s.accurate_line_search else "fast")
@@ -270,13 +402,38 @@ class DockingEngine:
                             num_saved_mins=max(s.num_modes, s.num_mc_saved),
                             minparams=minpar)
         cap = jnp.full((3,), s.forcecap, jnp.float32)
+        efn = make_energy_fn(self.sf, max_layers)
         refine = self._build_refine(efn, minpar, cap)
         slope = 1e3
-
         num_out = mcpar.num_saved_mins
 
-        @functools.partial(jax.jit, static_argnames=())
-        def program(lig_d, rec_d, key):
+        # CNN-in-the-loop modes (user_opts.h:24-31, main_procedure):
+        #   refinement/metrorefine/all -> CNN loss refines poses
+        #   refinement/metro*/all      -> CNN loss drives metropolis
+        #   all                        -> CNN loss is the MC minimization
+        #                                 objective too
+        mode = s.cnn_scoring
+        has_cnn = self.cnn is not None and mode != "none"
+        use_cnn_metro = has_cnn and mode in ("refinement", "metrorescore",
+                                             "metrorefine", "all")
+        use_cnn_refine = has_cnn and mode in ("refinement", "metrorefine", "all")
+        use_cnn_search = has_cnn and mode == "all"
+        if (use_cnn_metro or use_cnn_refine) and len(ligs) > 1:
+            # CNN-in-the-loop objectives are bound per ligand; batch of one
+            # for now (rescore mode batches freely)
+            out = []
+            for li, lig in enumerate(ligs):
+                out.append(self.dock_batch(
+                    rec, [lig], np.asarray(box.lo + box.hi) / 2,
+                    np.asarray(box.hi - box.lo),
+                    seed=(seed if seed is not None else s.seed) + li)[0])
+            return out
+        lig0_d = jax.tree_util.tree_map(lambda a: a[0], lig_batch)
+        cnn_obj = (self._build_cnn_objective(rec, ligs[0], lig0_d, box,
+                                             max_layers)
+                   if (use_cnn_metro or use_cnn_refine) else None)
+
+        def dock_one(lig_d, dof_mask, ntors, key):
             energy_fns = {
                 "eval_deriv": lambda conf, v: efn.eval_deriv(
                     lig_d, rec_d, conf, box, slope, v),
@@ -285,57 +442,128 @@ class DockingEngine:
                 "eval_energy": lambda conf, v: efn.eval_energy(
                     lig_d, rec_d, conf, box, slope, v),
             }
+            if use_cnn_metro:
+                energy_fns["eval_inter"] = lambda conf, v1: cnn_obj["value"](
+                    conf, cnn_obj["center_of"](conf), slope)
+            if use_cnn_search:
+                def _cnn_deriv(conf, v):
+                    center = jax.lax.stop_gradient(cnn_obj["center_of"](conf))
+                    return cnn_obj["deriv"](conf, center, slope)
+
+                def _cnn_value(conf, v):
+                    center = cnn_obj["center_of"](conf)
+                    return cnn_obj["value"](conf, center, slope)
+
+                energy_fns["eval_deriv"] = _cnn_deriv
+                energy_fns["eval_energy"] = _cnn_value
+
             keys = jax.random.split(key, s.exhaustiveness)
-            chains = jax.vmap(lambda k: mc.run_mc_chain(
-                k, lig_d, energy_fns, mcpar, box.lo, box.hi, max_layers,
-                dof_mask, jnp.int32(t)))(keys)
+            chains = jax.vmap(lambda kk: mc.run_mc_chain(
+                kk, lig_d, energy_fns, mcpar, box.lo, box.hi, max_layers,
+                dof_mask, ntors))(keys)
             merged = mc.merge_containers(chains, lig_d.heavy_mask,
                                          min_rmsd=2.0, out_slots=num_out)
 
             # batched refinement of all saved poses (main.cpp:322-344)
             def refine_one(pos, quat, tors, e_in):
                 conf = Conf(position=pos, orientation=quat, torsions=tors)
-                conf, _ = refine(lig_d, rec_d, conf, box)
-                # exact rescore: intramolecular + adjusted inter
+                if use_cnn_refine:
+                    conf = self._cnn_refine(cnn_obj, lig_d, conf, box,
+                                            minpar, max_layers)
+                else:
+                    conf, _ = refine(lig_d, rec_d, conf, box)
+                # exact rescore: intramolecular + adjusted inter (always the
+                # empirical affinity, even in CNN modes — main.cpp:336-343)
                 intra = efn.eval_intra(lig_d, conf, cap[0])
                 inter = efn.eval_inter(lig_d, rec_d, conf, box, slope, cap[1])
                 coords = fk.fk_coords(lig_d, conf, max_layers)
                 valid = e_in < MAX_FL
                 return conf, jnp.where(valid, inter, MAX_FL), intra, coords
 
-            confs, inters, intras, coords = jax.vmap(refine_one)(
+            return jax.vmap(refine_one)(
                 merged.position, merged.orientation, merged.torsions,
                 merged.energy)
-            return confs, inters, intras, coords
 
-        key = jax.random.PRNGKey(seed if seed is not None else s.seed)
-        confs, inters, intras, coords = program(lig_d, rec_d, key)
-        inters = np.asarray(inters)
+        @jax.jit
+        def program(lig_batch, dof_masks, num_tors_b, keys):
+            return jax.vmap(dock_one)(lig_batch, dof_masks, num_tors_b, keys)
+
+        base = jax.random.PRNGKey(seed if seed is not None else s.seed)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+            jnp.arange(len(ligs)))
+        confs, inters, intras, coords = program(lig_batch, dof_masks,
+                                                num_tors_b, keys)
+        inters = np.asarray(inters)     # (L, num_out)
         intras = np.asarray(intras)
-        coords = np.asarray(coords)
+        coords = np.asarray(coords)     # (L, num_out, N, 3)
 
-        results: List[PoseResult] = []
-        valid_ids = [i for i in range(num_out) if inters[i] < MAX_FL]
-        cnn_scores = {}
-        if valid_ids and self.cnn is not None and self.settings.cnn_scoring != "none":
-            batch = np.stack([coords[i][:lig.num_atoms] for i in valid_ids])
-            sc, aff, _loss, var = self.cnn.score_poses(rec, lig, batch)
-            cnn_scores = {i: (float(sc[j]), float(aff[j]), float(var[j]))
-                          for j, i in enumerate(valid_ids)}
-        for i in valid_ids:
-            e = self._conf_independent(lig, float(inters[i]))
-            c = coords[i][:lig.num_atoms]
-            cnnscore, cnnaff, cnnvar = cnn_scores.get(i, (0.0, 0.0, 0.0))
-            results.append(PoseResult(
-                energy=e, intramol=float(intras[i]), cnnscore=cnnscore,
-                cnnaffinity=cnnaff, cnnvariance=cnnvar, coords=c,
-                conf_position=np.asarray(confs.position[i]),
-                conf_orientation=np.asarray(confs.orientation[i]),
-                conf_torsions=np.asarray(confs.torsions[i])[:t]))
+        # batched CNN rescoring across all ligands' valid poses
+        all_results: List[List[PoseResult]] = []
+        for li, lig in enumerate(ligs):
+            t = lig.num_torsions
+            valid_ids = [i for i in range(num_out) if inters[li, i] < MAX_FL]
+            cnn_scores = {}
+            if valid_ids and has_cnn:
+                batch = np.stack([coords[li, i][:lig.num_atoms]
+                                  for i in valid_ids])
+                sc, aff, _loss, var = self.cnn.score_poses(rec, lig, batch)
+                cnn_scores = {i: (float(sc[j]), float(aff[j]), float(var[j]))
+                              for j, i in enumerate(valid_ids)}
+            results: List[PoseResult] = []
+            for i in valid_ids:
+                e = self._conf_independent(lig, float(inters[li, i]))
+                c = coords[li, i][:lig.num_atoms]
+                cnnscore, cnnaff, cnnvar = cnn_scores.get(i, (0.0, 0.0, 0.0))
+                results.append(PoseResult(
+                    energy=e, intramol=float(intras[li, i]), cnnscore=cnnscore,
+                    cnnaffinity=cnnaff, cnnvariance=cnnvar, coords=c,
+                    conf_position=np.asarray(confs.position[li, i]),
+                    conf_orientation=np.asarray(confs.orientation[li, i]),
+                    conf_torsions=np.asarray(confs.torsions[li, i])[:t]))
+            results = self._sort(results)
+            results = self._remove_redundant(results, lig)
+            all_results.append(results[: s.num_modes])
+        return all_results
 
-        results = self._sort(results)
-        results = self._remove_redundant(results, lig)
-        return results[: s.num_modes]
+    def _cnn_refine(self, cnn_obj, lig_d: LigandData, conf: Conf, box: Box,
+                    minpar: MinimizeParams, max_layers: int) -> Conf:
+        """refine_structure with the CNN objective: center fixed at the
+        starting pose's heavy centroid, 5-stage slope escalation."""
+        center = jax.lax.stop_gradient(cnn_obj["center_of"](conf))
+        half_dim = self.cnn.max_dimension / 2.0
+
+        def within(conf):
+            coords = fk.fk_coords(lig_d, conf, max_layers)
+            margin = 0.0001
+
+            def inside(lo_, hi_):
+                ok = jnp.logical_and(coords >= lo_ - margin,
+                                     coords <= hi_ + margin)
+                ok = jnp.logical_or(ok, ~lig_d.heavy_mask[:, None])
+                return jnp.all(ok)
+
+            # non_cache_cnn::within: inside the cnn box OR the search box
+            return jnp.logical_or(inside(box.lo, box.hi),
+                                  inside(center - half_dim, center + half_dim))
+
+        def body(i, state):
+            conf, done = state
+            slope_i = 10.0 ** (i + 1.0)
+
+            def f(c):
+                return cnn_obj["deriv"](c, center, slope_i)
+
+            def fv(c):
+                return cnn_obj["value"](c, center, slope_i)
+
+            res = bfgs(f, conf, minpar, f_val=fv)
+            new_done = within(res.x)
+            conf2 = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(done, old, new), res.x, conf)
+            return conf2, jnp.logical_or(done, new_done)
+
+        conf, _done = jax.lax.fori_loop(0, 5, body, (conf, jnp.asarray(False)))
+        return conf
 
     def _sort(self, results: List[PoseResult]) -> List[PoseResult]:
         order = self.settings.sort_order

@@ -116,6 +116,59 @@ class CNNScorer:
         s, a, _l, v = self.score_poses(rec, lig, coords[None])
         return float(s[0]), float(a[0]), float(v[0])
 
+    # -- CNN as minimization objective (non_cache_cnn equivalent) ---------------
+
+    def make_loss_fn(self, rec_coords, rec_types, rec_mask, lig_types):
+        """Returns loss(lig_coords (N,3), lig_mask, center) -> scalar mean
+        CNN loss over the ensemble.
+
+        The grid center is a runtime argument: during BFGS refinement it is
+        FIXED at the value set at refinement start (DLScorer::
+        set_center_from_model + non_cache_cnn::adjust_center), while
+        metropolis evaluations re-center on the current pose every call
+        (monte_carlo.cpp update_energy -> adjust_center).  Fully
+        differentiable wrt lig_coords — the reference's gmaker.backward +
+        loss.backward chain (torch_model.cpp:200-221) via autodiff.
+        """
+        models = self.models
+        rec_coords = jnp.asarray(rec_coords)
+        rec_types = jnp.asarray(rec_types)
+        rec_mask = jnp.asarray(rec_mask)
+        lig_types = jnp.asarray(lig_types)
+
+        prepared = []
+        for m in models:
+            nrec = m.rec_typer.num_channels
+            rec_chan = jnp.asarray(m.rec_typer.table)[rec_types]
+            lig_chan_raw = jnp.asarray(m.lig_typer.table)[lig_types]
+            lig_chan = jnp.where(lig_chan_raw >= 0, lig_chan_raw + nrec, -1)
+            channels = jnp.concatenate([rec_chan, lig_chan])
+            radii = jnp.concatenate([
+                jnp.asarray(m.rec_typer.radii)[rec_types],
+                jnp.asarray(m.lig_typer.radii)[lig_types]])
+            prepared.append((m, channels, radii))
+
+        def loss_fn(lig_coords, lig_mask, center):
+            mask = jnp.concatenate([rec_mask, lig_mask])
+            total = 0.0
+            for m, channels, radii in prepared:
+                allc = jnp.concatenate([rec_coords, lig_coords])
+                grid = voxelize(allc, channels, radii, mask, center,
+                                num_channels=m.num_channels,
+                                npoints=m.grid_points,
+                                resolution=m.resolution,
+                                radius_scale=m.radius_scale)
+                outputs = runtime.execute(m.spec, m.params, grid[None])
+                _pose, _aff, loss = _pose_from_outputs(m, outputs)
+                total = total + loss[0]
+            return total / len(prepared)
+
+        return loss_fn
+
+    @property
+    def max_dimension(self) -> float:
+        return max(m.dimension for m in self.models)
+
     # -- compiled program -------------------------------------------------------
 
     def _get_program(self, b: int, n: int, k: int):

@@ -45,30 +45,27 @@ class LineSearchResult(NamedTuple):
 
 
 def fast_line_search(f_val: Callable, x: Conf, g, f0, p) -> LineSearchResult:
-    """Backtracking Armijo search (bfgs.h:73-91): up to 10 halvings."""
+    """Backtracking Armijo search (bfgs.h:73-91): up to 10 halvings.
+
+    All 10 candidate step sizes are known in advance (alpha = 0.5^k), so the
+    trials are evaluated as ONE batched call and the first acceptable alpha
+    selected — identical floats to the reference's sequential loop, but no
+    lockstep-serialized while_loop when vmapped over thousands of poses.
+    """
     c0 = 1e-4
     pg = jnp.dot(p, g)
+    alphas = 0.5 ** jnp.arange(10, dtype=jnp.float32)
 
-    def cond(state):
-        trial, alpha, done, _ = state
-        return jnp.logical_and(trial < 10, jnp.logical_not(done))
-
-    def body(state):
-        trial, alpha, done, _best = state
-        x_new = conf_increment(x, p, alpha)
-        f1 = f_val(x_new)
-        accept = (f1 - f0) < c0 * alpha * pg
-        best = LineSearchResult(alpha=alpha, x_new=x_new, f1=f1)
-        alpha_next = jnp.where(accept, alpha, alpha * 0.5)
-        return trial + 1, alpha_next, accept, best
-
-    x1 = conf_increment(x, p, jnp.float32(1.0))
-    f1 = f_val(x1)
-    accept0 = (f1 - f0) < c0 * 1.0 * pg
-    init = (jnp.int32(1), jnp.where(accept0, 1.0, 0.5).astype(jnp.float32),
-            accept0, LineSearchResult(jnp.float32(1.0), x1, f1))
-    _, alpha, _, best = jax.lax.while_loop(cond, body, init)
-    return LineSearchResult(alpha=alpha, x_new=best.x_new, f1=best.f1)
+    xs = jax.vmap(lambda a: conf_increment(x, p, a))(alphas)
+    f1s = jax.vmap(f_val)(xs)
+    accept = (f1s - f0) < c0 * alphas * pg
+    # first accepted trial; if none accepted the reference keeps the LAST
+    # trial's point but returns alpha after a final halving (0.5^10)
+    any_ok = jnp.any(accept)
+    idx = jnp.where(any_ok, jnp.argmax(accept), 9)
+    alpha = jnp.where(any_ok, alphas[idx], jnp.float32(0.5 ** 10))
+    x_new = jax.tree_util.tree_map(lambda a: a[idx], xs)
+    return LineSearchResult(alpha=alpha, x_new=x_new, f1=f1s[idx])
 
 
 def accurate_line_search(f_val: Callable, x: Conf, g, f0, p) -> LineSearchResult:

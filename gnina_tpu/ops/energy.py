@@ -89,8 +89,12 @@ def make_energy_fn(sf: ScoringFunction, max_layers: int) -> EnergyFn:
         adj = jnp.clip(coords, box.lo, box.hi)
         oob = jnp.sum(jnp.abs(coords - adj), axis=-1)  # (N,)
         pl, pr = _pair_params(lig, rec)
-        diff = adj[:, None, :] - rec.coords[None, :, :]     # (N,K,3)
-        r2 = jnp.sum(diff * diff, axis=-1)                   # (N,K)
+        # r^2 via |a|^2 + |b|^2 - 2 a.b: the cross term is an MXU matmul and
+        # no (N,K,3) intermediate ever exists (HBM traffic matters here)
+        r2 = (jnp.sum(adj * adj, axis=1)[:, None]
+              + jnp.sum(rec.coords * rec.coords, axis=1)[None, :]
+              - 2.0 * jnp.matmul(adj, rec.coords.T,
+                                 precision=jax.lax.Precision.HIGHEST))
         r = jnp.sqrt(jnp.maximum(r2, 1e-12))
         pa = {k: (v[:, None] if v.ndim == 1 else v) for k, v in pl.items()}
         pb = {k: (v[None, :] if v.ndim == 1 else v) for k, v in pr.items()}
