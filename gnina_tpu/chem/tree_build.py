@@ -59,10 +59,25 @@ class LigandStruct:
     torsdof: int
     # molecule (new atom order) for output writing
     mol: Molecule = None
+    # flexible-residue extension (attach_flex): atoms beyond num_lig_atoms
+    # are flex-movable, then static inflex anchors
+    num_lig_atoms: int = -1            # -1 -> all atoms are ligand
+    num_movable_atoms: int = -1        # -1 -> all atoms movable
+    other_pairs: np.ndarray = None     # (Q,2) pairs evaluated at v[2]
+    flex_meta: list = None             # [(key, resname, start, end), ...]
 
     @property
     def num_atoms(self) -> int:
         return len(self.types)
+
+    @property
+    def lig_atoms(self) -> int:
+        return self.num_lig_atoms if self.num_lig_atoms >= 0 else len(self.types)
+
+    @property
+    def movable_atoms(self) -> int:
+        return (self.num_movable_atoms if self.num_movable_atoms >= 0
+                else len(self.types))
 
     @property
     def num_nodes(self) -> int:
@@ -329,6 +344,140 @@ def _assemble(mol: Molecule, table: AtomTypeTable, frags, order, parent_frag,
         torsdof=torsdof,
         mol=new_mol,
     )
+
+
+def attach_flex(lig: LigandStruct, flexres: Sequence) -> LigandStruct:
+    """Append flexible side chains to a ligand's DOF/atom arrays.
+
+    Produces the combined movable system (reference: model::append merging
+    ligand + flex, model.cpp:174): atom order is [ligand | flex movable...
+    | inflex anchors], node order is [ligand nodes | flex nodes], flex root
+    segments keep parent = -1 (virtual identity frame — exactly the
+    first_segment semantics of tree.h:266-291).
+    """
+    if not flexres:
+        return lig
+    hyd_all = IS_HYDROGEN
+
+    coords = [lig.orig_coords]
+    local = [lig.local_coords]
+    types = [lig.types]
+    charges = [lig.charges]
+    node_id = [lig.node_id]
+    parents = [lig.parent]
+    axes = [lig.rel_axis]
+    origins = [lig.rel_origin]
+    layers = [lig.layer]
+    anchors = [lig.parent_anchor]
+
+    n0 = lig.num_atoms
+    m0 = lig.num_nodes
+    atom_off = n0
+    node_off = m0
+    groups = [(0, n0)]          # movable atom ranges per group (ligand first)
+    res_pairs = []              # remapped within-residue pairs
+    inflex_blocks = []
+    flex_meta = []
+
+    for fr in flexres:
+        f_n = len(fr.types)
+        coords.append(fr.coords)
+        local.append(fr.coords - _node_origins_of(fr)[fr.node_of_atom])
+        types.append(fr.types)
+        charges.append(fr.charges)
+        node_id.append(fr.node_of_atom + node_off)
+        parents.append(np.where(fr.parent >= 0, fr.parent + node_off,
+                                -1).astype(np.int32))
+        axes.append(fr.rel_axis)
+        origins.append(fr.rel_origin)
+        layers.append(fr.layer)
+        anchors.append(np.where(fr.parent_anchor_local >= 0,
+                                fr.parent_anchor_local + atom_off,
+                                -1).astype(np.int32))
+        groups.append((atom_off, atom_off + f_n))
+        res_pairs.append((fr.pairs, atom_off, f_n))
+        inflex_blocks.append(fr)
+        flex_meta.append((fr.key, fr.resname, atom_off, atom_off + f_n))
+        atom_off += f_n
+        node_off += len(fr.parent)
+
+    num_movable = atom_off
+    # inflex anchors appended as static atoms (node 0, overridden by
+    # movable_mask in FK)
+    inflex_start = atom_off
+    inflex_of_res = []
+    for fr in inflex_blocks:
+        k = len(fr.inflex_types)
+        coords.append(fr.inflex_coords)
+        local.append(fr.inflex_coords)  # absolute; FK bypasses static atoms
+        types.append(fr.inflex_types)
+        charges.append(fr.inflex_charges)
+        node_id.append(np.zeros(k, np.int32))
+        inflex_of_res.append((inflex_start, inflex_start + k))
+        inflex_start += k
+
+    all_coords = np.concatenate(coords).astype(np.float32)
+    all_types = np.concatenate(types).astype(np.int32)
+    n_total = len(all_types)
+    heavy = ~IS_HYDROGEN[all_types]
+
+    # other_pairs (v[2]): within-residue pairs + all heavy cross-group pairs
+    other = []
+    for ri, (prs, off, f_n) in enumerate(res_pairs):
+        istart, iend = inflex_of_res[ri]
+        for (a, b) in prs:
+            ga = off + a if a < f_n else istart + (a - f_n)
+            gb = off + b if b < f_n else istart + (b - f_n)
+            other.append((ga, gb))
+    # cross-group: ligand x flex, flex x flex (different residues),
+    # movable x other residues' inflex, ligand x inflex
+    blocks = groups + inflex_of_res
+    kinds = (["mov"] * len(groups)) + (["inflex"] * len(inflex_of_res))
+    for bi in range(len(blocks)):
+        for bj in range(bi + 1, len(blocks)):
+            if kinds[bi] == "inflex" and kinds[bj] == "inflex":
+                continue
+            # same residue movable x inflex already covered by fr.pairs
+            if kinds[bi] == "mov" and kinds[bj] == "inflex" \
+                    and bi >= 1 and bj - len(groups) == bi - 1:
+                continue
+            (s1, e1), (s2, e2) = blocks[bi], blocks[bj]
+            for a in range(s1, e1):
+                if not heavy[a]:
+                    continue
+                for b in range(s2, e2):
+                    if heavy[b]:
+                        other.append((a, b))
+
+    return dataclasses.replace(
+        lig,
+        local_coords=np.concatenate(local).astype(np.float32),
+        orig_coords=all_coords,
+        types=all_types,
+        charges=np.concatenate(charges).astype(np.float32),
+        node_id=np.concatenate(node_id).astype(np.int32),
+        parent=np.concatenate(parents).astype(np.int32),
+        rel_axis=np.concatenate(axes).astype(np.float32),
+        rel_origin=np.concatenate(origins).astype(np.float32),
+        layer=np.concatenate(layers).astype(np.int32),
+        parent_anchor=np.concatenate(anchors).astype(np.int32),
+        num_lig_atoms=n0,
+        num_movable_atoms=num_movable,
+        other_pairs=np.array(other, np.int32).reshape(-1, 2),
+        flex_meta=flex_meta,
+    )
+
+
+def _node_origins_of(fr) -> np.ndarray:
+    """Reconstruct per-node absolute origins of a FlexResidue."""
+    mf = len(fr.parent)
+    out = np.zeros((mf, 3), np.float32)
+    for i in range(mf):
+        if fr.parent[i] < 0:
+            out[i] = fr.rel_origin[i]
+        else:
+            out[i] = out[fr.parent[i]] + fr.rel_origin[i]
+    return out
 
 
 def _interacting_pairs(mol: Molecule, types, node_id, parent_anchor) -> np.ndarray:

@@ -31,10 +31,15 @@ def build_parser() -> argparse.ArgumentParser:
     gin.add_argument("-r", "--receptor", help="rigid receptor (PDB/PDBQT)")
     gin.add_argument("-l", "--ligand", action="append", default=[],
                      help="ligand(s) (SDF/MOL/PDBQT/PDB)")
-    gin.add_argument("--flex", help="flexible side chains PDBQT (not yet supported)")
-    gin.add_argument("--flexres", help="flexible residues (chain:resid)")
-    gin.add_argument("--flexdist_ligand", help="ligand for flexdist")
-    gin.add_argument("--flexdist", type=float, default=-1)
+    gin.add_argument("--flex", help="flexible side chains PDBQT")
+    gin.add_argument("--flexres", help="flexible residues (chain:resid[:icode],...)")
+    gin.add_argument("--flexdist_ligand", help="ligand that determines flexdist residues")
+    gin.add_argument("--flexdist", type=float, default=-1,
+                     help="make residues within this distance flexible")
+    gin.add_argument("--flex_limit", type=int, default=-1,
+                     help="hard limit on number of flexible residues")
+    gin.add_argument("--flex_max", type=int, default=-1,
+                     help="keep only the closest flex_max flexible residues")
 
     gbox = p.add_argument_group("Search space")
     gbox.add_argument("--center_x", type=float)
@@ -149,9 +154,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not args.ligand:
         log.write("ERROR: ligand (-l) required\n")
         return 1
-    if args.flex or args.flexres or args.flexdist_ligand:
-        log.write("WARNING: flexible residues not yet supported in this build; "
-                  "treating receptor as rigid\n")
+    if args.flex:
+        log.write("WARNING: -flex PDBQT input not yet supported; use "
+                  "--flexres/--flexdist\n")
 
     settings = DockSettings(
         scoring=args.scoring if args.scoring != "default" else "vina",
@@ -191,6 +196,27 @@ def main(argv: Optional[List[str]] = None) -> int:
     engine = DockingEngine(settings, sf=sf, cnn_scorer=cnn)
     rec = ingest.Receptor.from_file(args.receptor)
 
+    # flexible residue selection (reference: flexinfo.cpp)
+    flex_residues = []
+    if args.flexres or (args.flexdist > 0 and args.flexdist_ligand):
+        from gnina_tpu.chem import flexinfo
+
+        flexdist_coords = None
+        if args.flexdist_ligand:
+            fl = next(ingest.iter_ligands(args.flexdist_ligand))
+            flexdist_coords = fl.orig_coords
+        keys = flexinfo.select_flex_residues(
+            rec, flexres=args.flexres, flexdist=args.flexdist,
+            flexdist_coords=flexdist_coords, flex_limit=args.flex_limit,
+            flex_max=args.flex_max)
+        flex_residues = [f for f in (flexinfo.extract_flex_residue(rec, k)
+                                     for k in keys) if f is not None]
+        if flex_residues:
+            log.write(f"Flexible residues: " + " ".join(
+                f"{f.key[0]}:{f.key[1]}{f.key[2]}" for f in flex_residues)
+                + "\n")
+            rec = flexinfo.strip_flex_from_receptor(rec, flex_residues)
+
     # search box
     center = size = None
     if args.autobox_ligand:
@@ -205,6 +231,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     out_chunks: List[str] = []
     for ligpath in args.ligand:
         for lig in ingest.iter_ligands(ligpath):
+            if flex_residues:
+                from gnina_tpu.chem.tree_build import attach_flex
+
+                lig = attach_flex(lig, flex_residues)
             log.write(f"\n## {lig.name}\n")
             if args.score_only:
                 r = engine.score_only(rec, lig)

@@ -113,7 +113,7 @@ class DockingEngine:
         pruned = rec.pruned(np.asarray(center), np.asarray(size) / 2,
                             margin=self.sf.cutoff)
         n, m, p, k = self._pad_sizes(lig, len(pruned.types))
-        lig_d = pad_ligand(lig, n, m, p)
+        lig_d = pad_ligand(lig, n, m, p)  # q auto-sized per ligand
         rec_d = pad_receptor(pruned.coords, pruned.types, pruned.charges, k)
         lo, hi = box_from_center_size(center, size)
         box = Box(lo=jnp.asarray(lo), hi=jnp.asarray(hi))
@@ -376,7 +376,9 @@ class DockingEngine:
         lo, hi = box_from_center_size(center, size)
         box = Box(lo=jnp.asarray(lo), hi=jnp.asarray(hi))
 
-        lig_ds = [pad_ligand(l, n, m, p) for l in ligs]
+        q = _round_up(max((len(l.other_pairs) if l.other_pairs is not None
+                           else 0) for l in ligs), 32)
+        lig_ds = [pad_ligand(l, n, m, p, q_pad=q) for l in ligs]
         lig_batch = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *lig_ds)
         tp = m - 1

@@ -61,7 +61,8 @@ class EnergyFn:
     eval_energy: Callable     # (lig, rec, conf, box, slope, v) -> energy
     eval_deriv: Callable      # same args -> (energy, flat grad (6+T,))
     eval_inter: Callable      # rec-lig part only, uncapped v
-    eval_intra: Callable      # intra pairs only
+    eval_intra: Callable      # intra-ligand pairs only
+    eval_other: Callable = None  # flex "other" pairs only
 
 
 def make_energy_fn(sf: ScoringFunction, max_layers: int) -> EnergyFn:
@@ -106,25 +107,35 @@ def make_energy_fn(sf: ScoringFunction, max_layers: int) -> EnergyFn:
         e_atom = jnp.where(lig.heavy_mask, e_atom + slope * oob, 0.0)
         return jnp.sum(e_atom)
 
-    def intra_energy(lig, coords, v0):
-        """Intra-ligand 1-4+ pair energy (model.cu:22-36), curl per pair."""
-        ca = coords[lig.pair_a]
-        cb = coords[lig.pair_b]
+    def _pair_sum(lig, coords, idx_a, idx_b, mask, v):
+        """Masked pair-list energy with per-pair curl (model.cu:22-36)."""
+        ca = coords[idx_a]
+        cb = coords[idx_b]
         r2 = jnp.sum((ca - cb) ** 2, axis=-1)
         r = jnp.sqrt(jnp.maximum(r2, 1e-12))
         pl = gather_params(tables, lig.types)
-        pa = {k: v[lig.pair_a] for k, v in pl.items()}
-        pb = {k: v[lig.pair_b] for k, v in pl.items()}
-        e = sf.eval_pair(pa, pb, r, qa=lig.charges[lig.pair_a],
-                         qb=lig.charges[lig.pair_b])
-        e = curl(e, v0)
-        valid = (r2 < cutoff_sqr) & lig.pair_mask
+        pa = {k: p[idx_a] for k, p in pl.items()}
+        pb = {k: p[idx_b] for k, p in pl.items()}
+        e = sf.eval_pair(pa, pb, r, qa=lig.charges[idx_a],
+                         qb=lig.charges[idx_b])
+        e = curl(e, v)
+        valid = (r2 < cutoff_sqr) & mask
         return jnp.sum(jnp.where(valid, e, 0.0))
+
+    def intra_energy(lig, coords, v0):
+        """Intra-ligand 1-4+ pair energy, curl per pair at v[0]."""
+        return _pair_sum(lig, coords, lig.pair_a, lig.pair_b, lig.pair_mask, v0)
+
+    def other_energy(lig, coords, v2):
+        """Flex-involved "other" pairs at v[2] (model.cu eval_deriv)."""
+        return _pair_sum(lig, coords, lig.opair_a, lig.opair_b,
+                         lig.opair_mask, v2)
 
     def total_energy(lig, rec, conf: Conf, box: Box, slope, v):
         coords = fk.fk_coords(lig, conf, max_layers)
         return (inter_energy(lig, rec, coords, box, slope, v[1])
-                + intra_energy(lig, coords, v[0]))
+                + intra_energy(lig, coords, v[0])
+                + other_energy(lig, coords, v[2]))
 
     def eval_deriv(lig, rec, conf: Conf, box: Box, slope, v):
         t = conf.torsions.shape[-1]
@@ -145,9 +156,13 @@ def make_energy_fn(sf: ScoringFunction, max_layers: int) -> EnergyFn:
         coords = fk.fk_coords(lig, conf, max_layers)
         return intra_energy(lig, coords, v0)
 
+    def eval_other(lig, conf: Conf, v2):
+        coords = fk.fk_coords(lig, conf, max_layers)
+        return other_energy(lig, coords, v2)
+
     return EnergyFn(sf=sf, max_layers=max_layers, eval_energy=total_energy,
                     eval_deriv=eval_deriv, eval_inter=eval_inter,
-                    eval_intra=eval_intra)
+                    eval_intra=eval_intra, eval_other=eval_other)
 
 
 AUTHENTIC_V = jnp.array([1000.0, 1000.0, 1000.0], jnp.float32)

@@ -30,12 +30,16 @@ def fk_node_frames(lig: LigandData, conf: Conf, max_layers: int):
     torsions = jnp.concatenate([jnp.zeros((1,), jnp.float32), conf.torsions])
 
     # statically unrolled over layers (max_layers is small): avoids scan
-    # overhead and lets XLA fuse the whole FK into a handful of kernels
-    parent = jnp.maximum(lig.parent, 0)
+    # overhead and lets XLA fuse the whole FK into a handful of kernels.
+    # parent == -1 means the virtual identity frame (flex-residue
+    # first_segments, tree.h:266-291): origin 0, identity orientation.
+    parentc = jnp.maximum(lig.parent, 0)
+    is_root_child = (lig.parent < 0)[:, None]
     origins, quats = origins0, quats0
+    identity_q = jnp.broadcast_to(Q.QT_IDENTITY, quats0.shape)
     for l in range(1, max_layers + 1):
-        p_origin = origins[parent]          # (M,3)
-        p_quat = quats[parent]              # (M,4)
+        p_origin = jnp.where(is_root_child, 0.0, origins[parentc])
+        p_quat = jnp.where(is_root_child, identity_q, quats[parentc])
         new_origin = p_origin + Q.qrotate(p_quat, lig.rel_origin)
         axis = Q.qrotate(p_quat, lig.rel_axis)
         new_quat = Q.qnormalize_approx(
@@ -47,10 +51,14 @@ def fk_node_frames(lig: LigandData, conf: Conf, max_layers: int):
 
 
 def fk_coords(lig: LigandData, conf: Conf, max_layers: int):
-    """Atom lab coordinates (N,3) for a single conf."""
+    """Atom lab coordinates (N,3) for a single conf.
+
+    Static (inflex) atoms bypass FK: their local_coords hold absolute
+    positions."""
     origins, quats = fk_node_frames(lig, conf, max_layers)
     node = lig.node_id
-    return origins[node] + Q.qrotate(quats[node], lig.local_coords)
+    moved = origins[node] + Q.qrotate(quats[node], lig.local_coords)
+    return jnp.where(lig.movable_mask[:, None], moved, lig.local_coords)
 
 
 def conf_increment(conf: Conf, delta: jnp.ndarray, factor) -> Conf:

@@ -116,11 +116,12 @@ def mutate_conf(key, conf: Conf, lig: LigandData, amplitude: float,
     # position mutation
     pos_new = conf.position + amplitude * random_inside_sphere(k2)
 
-    # orientation mutation, scaled by current gyration radius
+    # orientation mutation, scaled by current LIGAND gyration radius
+    # (model.cpp:1002 uses ligand heavy atoms about the ligand root origin)
     coords = fk.fk_coords(lig, conf, max_layers)
     d2 = jnp.sum((coords - conf.position) ** 2, axis=-1)
-    cnt = jnp.maximum(jnp.sum(lig.heavy_mask), 1)
-    gr = jnp.sqrt(jnp.sum(jnp.where(lig.heavy_mask, d2, 0.0)) / cnt)
+    cnt = jnp.maximum(jnp.sum(lig.lig_heavy_mask), 1)
+    gr = jnp.sqrt(jnp.sum(jnp.where(lig.lig_heavy_mask, d2, 0.0)) / cnt)
     rot = (amplitude / jnp.maximum(gr, EPSILON_FL)) * random_inside_sphere(k3)
     quat_new = jnp.where(gr > EPSILON_FL,
                          quaternion_increment(conf.orientation, rot),

@@ -34,17 +34,23 @@ class LigandData(NamedTuple):
     charges: jnp.ndarray       # (N,)
     node_id: jnp.ndarray       # (N,) int32
     atom_mask: jnp.ndarray     # (N,) bool
-    heavy_mask: jnp.ndarray    # (N,) bool (real & heavy)
+    heavy_mask: jnp.ndarray    # (N,) bool (real & heavy & movable)
+    movable_mask: jnp.ndarray  # (N,) bool (ligand + flex side chains)
+    lig_heavy_mask: jnp.ndarray  # (N,) bool (ligand block only, heavy)
     # per node (M)
     parent: jnp.ndarray        # (M,) int32, -1 root
     rel_axis: jnp.ndarray      # (M,3)
     rel_origin: jnp.ndarray    # (M,3)
     layer: jnp.ndarray         # (M,) int32
     node_mask: jnp.ndarray     # (M,) bool
-    # intra pairs (P)
+    # intra-ligand pairs (P), capped at v[0]
     pair_a: jnp.ndarray        # (P,) int32
     pair_b: jnp.ndarray        # (P,) int32
     pair_mask: jnp.ndarray     # (P,) bool
+    # "other" pairs (Q): flex-involved, capped at v[2]
+    opair_a: jnp.ndarray       # (Q,) int32
+    opair_b: jnp.ndarray       # (Q,) int32
+    opair_mask: jnp.ndarray    # (Q,) bool
     # conf-independent inputs (scalars)
     num_tors: jnp.ndarray
     num_heavy_atoms: jnp.ndarray
@@ -82,14 +88,24 @@ def pad_receptor(coords, types, charges, k_pad: int) -> ReceptorData:
     )
 
 
-def pad_ligand(lig, n_pad: int, m_pad: int, p_pad: int) -> LigandData:
+def pad_ligand(lig, n_pad: int, m_pad: int, p_pad: int,
+               q_pad: int = 0) -> LigandData:
     """LigandStruct (chem/tree_build.py) -> padded device LigandData."""
     n, m, p = lig.num_atoms, lig.num_nodes, len(lig.pairs)
+    opairs = lig.other_pairs if lig.other_pairs is not None else \
+        np.zeros((0, 2), np.int32)
+    q = len(opairs)
+    q_pad = max(q_pad, ((q + 31) // 32) * 32, 32)
     if n_pad < n or m_pad < m or p_pad < p:
         raise ValueError(f"pad too small: atoms {n}>{n_pad} or nodes {m}>{m_pad} "
                          f"or pairs {p}>{p_pad}")
     an, am, ap = n_pad - n, m_pad - m, p_pad - p
+    aq = q_pad - q
     hyd = IS_HYDROGEN[lig.types]
+    movable = np.zeros(n, bool)
+    movable[: lig.movable_atoms] = True
+    lig_heavy = np.zeros(n, bool)
+    lig_heavy[: lig.lig_atoms] = ~hyd[: lig.lig_atoms]
     # padded nodes parent to themselves-as-root-children to stay inert
     parent = np.pad(lig.parent, (0, am), constant_values=0)
     layer = np.pad(lig.layer, (0, am), constant_values=1)
@@ -101,7 +117,9 @@ def pad_ligand(lig, n_pad: int, m_pad: int, p_pad: int) -> LigandData:
         charges=jnp.asarray(np.pad(lig.charges, (0, an))),
         node_id=jnp.asarray(np.pad(lig.node_id, (0, an))),
         atom_mask=jnp.asarray(np.pad(np.ones(n, bool), (0, an))),
-        heavy_mask=jnp.asarray(np.pad(~hyd, (0, an))),
+        heavy_mask=jnp.asarray(np.pad(~hyd & movable, (0, an))),
+        movable_mask=jnp.asarray(np.pad(movable, (0, an))),
+        lig_heavy_mask=jnp.asarray(np.pad(lig_heavy, (0, an))),
         parent=jnp.asarray(parent.astype(np.int32)),
         rel_axis=jnp.asarray(rel_axis.astype(np.float32)),
         rel_origin=jnp.asarray(np.pad(lig.rel_origin, ((0, am), (0, 0)))),
@@ -110,6 +128,9 @@ def pad_ligand(lig, n_pad: int, m_pad: int, p_pad: int) -> LigandData:
         pair_a=jnp.asarray(np.pad(lig.pairs[:, 0] if p else np.zeros(0, np.int32), (0, ap))),
         pair_b=jnp.asarray(np.pad(lig.pairs[:, 1] if p else np.zeros(0, np.int32), (0, ap))),
         pair_mask=jnp.asarray(np.pad(np.ones(p, bool), (0, ap))),
+        opair_a=jnp.asarray(np.pad(opairs[:, 0] if q else np.zeros(0, np.int32), (0, aq))),
+        opair_b=jnp.asarray(np.pad(opairs[:, 1] if q else np.zeros(0, np.int32), (0, aq))),
+        opair_mask=jnp.asarray(np.pad(np.ones(q, bool), (0, aq))),
         num_tors=jnp.float32(lig.num_tors),
         num_heavy_atoms=jnp.float32(lig.num_heavy_atoms),
         num_hydrophobic_atoms=jnp.float32(lig.num_hydrophobic_atoms),

@@ -32,6 +32,11 @@ def tiny_ligand():
         node_id=jnp.array([0, 0, 1, 1], jnp.int32),
         atom_mask=jnp.ones(4, bool),
         heavy_mask=jnp.ones(4, bool),
+        movable_mask=jnp.ones(4, bool),
+        lig_heavy_mask=jnp.ones(4, bool),
+        opair_a=jnp.zeros(1, jnp.int32),
+        opair_b=jnp.zeros(1, jnp.int32),
+        opair_mask=jnp.zeros(1, bool),
         parent=jnp.array([-1, 0], jnp.int32),
         rel_axis=jnp.array([[1.0, 0, 0], [1.0, 0, 0]], jnp.float32),
         rel_origin=jnp.array([[0.0, 0, 0], [2.0, 0, 0]], jnp.float32),
