@@ -34,7 +34,7 @@ def main():
     lig = build_tree_from_molecule(mol)
     center, size = ingest.autobox_ligand(f"{data}/10gs_lig.sdf")
 
-    steps = int(os.environ.get("GNINA_TPU_BENCH_STEPS", "4096"))
+    steps = int(os.environ.get("GNINA_TPU_BENCH_STEPS", "1024"))
     eng = DockingEngine(DockSettings(cnn_scoring="none", seed=42,
                                      num_mc_steps=steps))
     batch = int(os.environ.get("GNINA_TPU_BENCH_BATCH", "8"))

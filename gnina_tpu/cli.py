@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     gout = p.add_argument_group("Output")
     gout.add_argument("-o", "--out", help="output file (SDF)")
+    gout.add_argument("--out_flex", help="output file for flexible residue poses (PDB)")
+    gout.add_argument("--atom_terms", type=int, default=0,
+                      help="print per-term values in score_only")
     gout.add_argument("--log", help="log file")
     gout.add_argument("-q", "--quiet", action="store_true")
 
@@ -244,6 +247,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                 if r.cnnvariance > 0:
                     log.write(f"CNNvariance: {r.cnnvariance:.5f}\n")
                 log.write(f"Intramolecular energy: {r.intramol:.5f}\n")
+                if args.atom_terms:
+                    vals = engine.term_values(rec, lig)
+                    log.write("Term values, before weighting:\n## "
+                              + " ".join(f"{v:.5f}" for v in vals) + "\n")
                 results = [r]
             elif args.randomize_only:
                 if center is None:

@@ -98,6 +98,7 @@ class DockingEngine:
         self.settings = settings
         self.sf = sf if sf is not None else get_scoring_function(settings.scoring)
         self.cnn = cnn_scorer
+        self._programs = {}  # jitted dock programs keyed by static config
 
     # -- padding ------------------------------------------------------------
 
@@ -151,6 +152,36 @@ class DockingEngine:
                           conf_position=np.asarray(conf.position),
                           conf_orientation=np.asarray(conf.orientation),
                           conf_torsions=np.asarray(conf.torsions)[:t])
+
+    def term_values(self, rec: Receptor, lig: LigandStruct) -> List[float]:
+        """Per-term unweighted rec-lig sums at the input pose — the
+        "Term values, before weighting" row of --score_only
+        (main.cpp:252-264, terms.h evale_robust)."""
+        center = lig.orig_coords.mean(axis=0)
+        size = np.full(3, 2 * (self.sf.cutoff + lig.max_span()), np.float32)
+        pruned = rec.pruned(np.asarray(center), np.asarray(size) / 2,
+                            margin=self.sf.cutoff)
+        from gnina_tpu.scoring.terms import gather_type_params
+
+        lc = lig.orig_coords
+        heavy = ~np.asarray([t in (0, 1) for t in lig.types])
+        diff = lc[:, None, :] - pruned.coords[None, :, :]
+        r = np.sqrt((diff ** 2).sum(-1))
+        within = r < self.sf.cutoff
+        pa = gather_type_params(self.sf.table, lig.types)
+        pb = gather_type_params(self.sf.table, pruned.types)
+        pa = {k: np.asarray(v)[:, None] for k, v in pa.items()}
+        pb = {k: np.asarray(v)[None, :] for k, v in pb.items()}
+        qa = lig.charges[:, None]
+        qb = pruned.charges[None, :]
+        vals = []
+        for t in self.sf.pair_terms:
+            e = np.asarray(t.eval(pa, pb, np.asarray(r, np.float32),
+                                  qa=qa, qb=qb))
+            mask = within & heavy[:, None] & ~np.asarray(
+                [tt in (0, 1) for tt in pruned.types])[None, :]
+            vals.append(float(np.where(mask, e, 0.0).sum()))
+        return vals
 
     def _conf_independent(self, lig: LigandStruct, e: float) -> float:
         inputs = {
@@ -388,26 +419,15 @@ class DockingEngine:
 
         num_steps = max(_num_steps_heuristic(l, s) for l in ligs)
         miniters = max(_minimize_iters_heuristic(l, s) for l in ligs)
-        results_b = self._run_dock_program(
+        return self._run_dock_program(
             rec, ligs, lig_batch, dof_masks, num_tors_b, rec_d, box,
             max_layers, num_steps, miniters, seed)
-        return results_b
 
     def _run_dock_program(self, rec, ligs, lig_batch, dof_masks, num_tors_b,
                           rec_d, box, max_layers, num_steps, miniters,
                           seed: Optional[int]) -> List[List[PoseResult]]:
         s = self.settings
-        minpar = MinimizeParams(
-            maxiters=miniters,
-            type="accurate" if s.accurate_line_search else "fast")
-        mcpar = mc.MCParams(num_steps=num_steps, temperature=s.temperature,
-                            num_saved_mins=max(s.num_modes, s.num_mc_saved),
-                            minparams=minpar)
-        cap = jnp.full((3,), s.forcecap, jnp.float32)
-        efn = make_energy_fn(self.sf, max_layers)
-        refine = self._build_refine(efn, minpar, cap)
-        slope = 1e3
-        num_out = mcpar.num_saved_mins
+        num_out = max(s.num_modes, s.num_mc_saved)
 
         # CNN-in-the-loop modes (user_opts.h:24-31, main_procedure):
         #   refinement/metrorefine/all -> CNN loss refines poses
@@ -430,71 +450,29 @@ class DockingEngine:
                     np.asarray(box.hi - box.lo),
                     seed=(seed if seed is not None else s.seed) + li)[0])
             return out
-        lig0_d = jax.tree_util.tree_map(lambda a: a[0], lig_batch)
-        cnn_obj = (self._build_cnn_objective(rec, ligs[0], lig0_d, box,
-                                             max_layers)
-                   if (use_cnn_metro or use_cnn_refine) else None)
 
-        def dock_one(lig_d, dof_mask, ntors, key):
-            energy_fns = {
-                "eval_deriv": lambda conf, v: efn.eval_deriv(
-                    lig_d, rec_d, conf, box, slope, v),
-                "eval_inter": lambda conf, v1: efn.eval_inter(
-                    lig_d, rec_d, conf, box, slope, v1),
-                "eval_energy": lambda conf, v: efn.eval_energy(
-                    lig_d, rec_d, conf, box, slope, v),
-            }
-            if use_cnn_metro:
-                energy_fns["eval_inter"] = lambda conf, v1: cnn_obj["value"](
-                    conf, cnn_obj["center_of"](conf), slope)
-            if use_cnn_search:
-                def _cnn_deriv(conf, v):
-                    center = jax.lax.stop_gradient(cnn_obj["center_of"](conf))
-                    return cnn_obj["deriv"](conf, center, slope)
+        cnn_obj = None
+        if use_cnn_metro or use_cnn_refine:
+            lig0_d = jax.tree_util.tree_map(lambda a: a[0], lig_batch)
+            cnn_obj = self._build_cnn_objective(rec, ligs[0], lig0_d, box,
+                                                max_layers)
 
-                def _cnn_value(conf, v):
-                    center = cnn_obj["center_of"](conf)
-                    return cnn_obj["value"](conf, center, slope)
-
-                energy_fns["eval_deriv"] = _cnn_deriv
-                energy_fns["eval_energy"] = _cnn_value
-
-            keys = jax.random.split(key, s.exhaustiveness)
-            chains = jax.vmap(lambda kk: mc.run_mc_chain(
-                kk, lig_d, energy_fns, mcpar, box.lo, box.hi, max_layers,
-                dof_mask, ntors))(keys)
-            merged = mc.merge_containers(chains, lig_d.heavy_mask,
-                                         min_rmsd=2.0, out_slots=num_out)
-
-            # batched refinement of all saved poses (main.cpp:322-344)
-            def refine_one(pos, quat, tors, e_in):
-                conf = Conf(position=pos, orientation=quat, torsions=tors)
-                if use_cnn_refine:
-                    conf = self._cnn_refine(cnn_obj, lig_d, conf, box,
-                                            minpar, max_layers)
-                else:
-                    conf, _ = refine(lig_d, rec_d, conf, box)
-                # exact rescore: intramolecular + adjusted inter (always the
-                # empirical affinity, even in CNN modes — main.cpp:336-343)
-                intra = efn.eval_intra(lig_d, conf, cap[0])
-                inter = efn.eval_inter(lig_d, rec_d, conf, box, slope, cap[1])
-                coords = fk.fk_coords(lig_d, conf, max_layers)
-                valid = e_in < MAX_FL
-                return conf, jnp.where(valid, inter, MAX_FL), intra, coords
-
-            return jax.vmap(refine_one)(
-                merged.position, merged.orientation, merged.torsions,
-                merged.energy)
-
-        @jax.jit
-        def program(lig_batch, dof_masks, num_tors_b, keys):
-            return jax.vmap(dock_one)(lig_batch, dof_masks, num_tors_b, keys)
+        prog_key = (max_layers, num_steps, miniters, s.exhaustiveness,
+                    num_out, mode, has_cnn)
+        if cnn_obj is None and prog_key in self._programs:
+            program = self._programs[prog_key]
+        else:
+            program = self._build_dock_program(
+                max_layers, num_steps, miniters, num_out, cnn_obj,
+                use_cnn_metro, use_cnn_refine, use_cnn_search)
+            if cnn_obj is None:
+                self._programs[prog_key] = program
 
         base = jax.random.PRNGKey(seed if seed is not None else s.seed)
         keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
             jnp.arange(len(ligs)))
-        confs, inters, intras, coords = program(lig_batch, dof_masks,
-                                                num_tors_b, keys)
+        confs, inters, intras, coords = program(
+            lig_batch, dof_masks, num_tors_b, rec_d, box.lo, box.hi, keys)
         inters = np.asarray(inters)     # (L, num_out)
         intras = np.asarray(intras)
         coords = np.asarray(coords)     # (L, num_out, N, 3)
@@ -526,6 +504,85 @@ class DockingEngine:
             results = self._remove_redundant(results, lig)
             all_results.append(results[: s.num_modes])
         return all_results
+
+    def _build_dock_program(self, max_layers, num_steps, miniters, num_out,
+                            cnn_obj, use_cnn_metro, use_cnn_refine,
+                            use_cnn_search):
+        """One jitted (ligands x chains) docking program.  Cached by static
+        config + (via jax.jit) input shapes; per-call data (box, receptor,
+        ligand batch) are traced arguments, so a virtual screen reuses one
+        compiled executable across targets of the same shape bucket."""
+        s = self.settings
+        minpar = MinimizeParams(
+            maxiters=miniters,
+            type="accurate" if s.accurate_line_search else "fast")
+        mcpar = mc.MCParams(num_steps=num_steps, temperature=s.temperature,
+                            num_saved_mins=num_out, minparams=minpar)
+        cap = jnp.full((3,), s.forcecap, jnp.float32)
+        efn = make_energy_fn(self.sf, max_layers)
+        refine = self._build_refine(efn, minpar, cap)
+        slope = 1e3
+        exhaustiveness = s.exhaustiveness
+
+        def dock_one(lig_d, dof_mask, ntors, rec_d, box, key):
+            energy_fns = {
+                "eval_deriv": lambda conf, v: efn.eval_deriv(
+                    lig_d, rec_d, conf, box, slope, v),
+                "eval_inter": lambda conf, v1: efn.eval_inter(
+                    lig_d, rec_d, conf, box, slope, v1),
+                "eval_energy": lambda conf, v: efn.eval_energy(
+                    lig_d, rec_d, conf, box, slope, v),
+            }
+            if use_cnn_metro:
+                energy_fns["eval_inter"] = lambda conf, v1: cnn_obj["value"](
+                    conf, cnn_obj["center_of"](conf), slope)
+            if use_cnn_search:
+                def _cnn_deriv(conf, v):
+                    center = jax.lax.stop_gradient(cnn_obj["center_of"](conf))
+                    return cnn_obj["deriv"](conf, center, slope)
+
+                def _cnn_value(conf, v):
+                    center = cnn_obj["center_of"](conf)
+                    return cnn_obj["value"](conf, center, slope)
+
+                energy_fns["eval_deriv"] = _cnn_deriv
+                energy_fns["eval_energy"] = _cnn_value
+
+            keys = jax.random.split(key, exhaustiveness)
+            chains = jax.vmap(lambda kk: mc.run_mc_chain(
+                kk, lig_d, energy_fns, mcpar, box.lo, box.hi, max_layers,
+                dof_mask, ntors))(keys)
+            merged = mc.merge_containers(chains, lig_d.heavy_mask,
+                                         min_rmsd=2.0, out_slots=num_out)
+
+            # batched refinement of all saved poses (main.cpp:322-344)
+            def refine_one(pos, quat, tors, e_in):
+                conf = Conf(position=pos, orientation=quat, torsions=tors)
+                if use_cnn_refine:
+                    conf = self._cnn_refine(cnn_obj, lig_d, conf, box,
+                                            minpar, max_layers)
+                else:
+                    conf, _ = refine(lig_d, rec_d, conf, box)
+                # exact rescore: intramolecular + adjusted inter (always the
+                # empirical affinity, even in CNN modes — main.cpp:336-343)
+                intra = efn.eval_intra(lig_d, conf, cap[0])
+                inter = efn.eval_inter(lig_d, rec_d, conf, box, slope, cap[1])
+                coords = fk.fk_coords(lig_d, conf, max_layers)
+                valid = e_in < MAX_FL
+                return conf, jnp.where(valid, inter, MAX_FL), intra, coords
+
+            return jax.vmap(refine_one)(
+                merged.position, merged.orientation, merged.torsions,
+                merged.energy)
+
+        @jax.jit
+        def program(lig_batch, dof_masks, num_tors_b, rec_d, lo, hi, keys):
+            box = Box(lo=lo, hi=hi)
+            return jax.vmap(
+                lambda ld, dm, nt, k: dock_one(ld, dm, nt, rec_d, box, k))(
+                lig_batch, dof_masks, num_tors_b, keys)
+
+        return program
 
     def _cnn_refine(self, cnn_obj, lig_d: LigandData, conf: Conf, box: Box,
                     minpar: MinimizeParams, max_layers: int) -> Conf:
