@@ -51,6 +51,7 @@ class DockSettings:
     cnn_scoring: str = "rescore"   # none|rescore|refinement|all
     cnn_rotations: int = 0
     sort_order: str = "auto"       # auto|CNNscore|CNNaffinity|Energy
+    mc_chunk_steps: int = 256      # steps per device program execution
 
 
 @dataclasses.dataclass
@@ -457,22 +458,33 @@ class DockingEngine:
             cnn_obj = self._build_cnn_objective(rec, ligs[0], lig0_d, box,
                                                 max_layers)
 
-        prog_key = (max_layers, num_steps, miniters, s.exhaustiveness,
+        chunk = min(num_steps, int(self.settings.mc_chunk_steps) or num_steps)
+        prog_key = (max_layers, chunk, miniters, s.exhaustiveness,
                     num_out, mode, has_cnn)
         if cnn_obj is None and prog_key in self._programs:
-            program = self._programs[prog_key]
+            progs = self._programs[prog_key]
         else:
-            program = self._build_dock_program(
-                max_layers, num_steps, miniters, num_out, cnn_obj,
+            progs = self._build_dock_program(
+                max_layers, chunk, miniters, num_out, cnn_obj,
                 use_cnn_metro, use_cnn_refine, use_cnn_search)
             if cnn_obj is None:
-                self._programs[prog_key] = program
+                self._programs[prog_key] = progs
 
+        init_fn, chunk_fn, finish_fn = progs
         base = jax.random.PRNGKey(seed if seed is not None else s.seed)
         keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
             jnp.arange(len(ligs)))
-        confs, inters, intras, coords = program(
-            lig_batch, dof_masks, num_tors_b, rec_d, box.lo, box.hi, keys)
+        carry = init_fn(lig_batch, box.lo, box.hi, keys)
+        done = 0
+        ci = 0
+        while done < num_steps:
+            ckeys = jax.vmap(lambda kk: jax.random.fold_in(kk, 1000 + ci))(keys)
+            carry = chunk_fn(carry, lig_batch, dof_masks, num_tors_b, rec_d,
+                             box.lo, box.hi, ckeys)
+            done += chunk
+            ci += 1
+        confs, inters, intras, coords = finish_fn(
+            carry, lig_batch, rec_d, box.lo, box.hi)
         inters = np.asarray(inters)     # (L, num_out)
         intras = np.asarray(intras)
         coords = np.asarray(coords)     # (L, num_out, N, 3)
@@ -505,18 +517,20 @@ class DockingEngine:
             all_results.append(results[: s.num_modes])
         return all_results
 
-    def _build_dock_program(self, max_layers, num_steps, miniters, num_out,
+    def _build_dock_program(self, max_layers, chunk_steps, miniters, num_out,
                             cnn_obj, use_cnn_metro, use_cnn_refine,
                             use_cnn_search):
-        """One jitted (ligands x chains) docking program.  Cached by static
-        config + (via jax.jit) input shapes; per-call data (box, receptor,
-        ligand batch) are traced arguments, so a virtual screen reuses one
-        compiled executable across targets of the same shape bucket."""
+        """Three jitted programs: chain init, a bounded MC chunk, and the
+        merge+refine finish.  Chunking keeps each device program execution
+        short (the single-chip tunnel kills very long executions) and the
+        carried state doubles as a resume checkpoint (SURVEY.md section 5:
+        the reference has no docking checkpointing; here it falls out of
+        the design)."""
         s = self.settings
         minpar = MinimizeParams(
             maxiters=miniters,
             type="accurate" if s.accurate_line_search else "fast")
-        mcpar = mc.MCParams(num_steps=num_steps, temperature=s.temperature,
+        mcpar = mc.MCParams(num_steps=chunk_steps, temperature=s.temperature,
                             num_saved_mins=num_out, minparams=minpar)
         cap = jnp.full((3,), s.forcecap, jnp.float32)
         efn = make_energy_fn(self.sf, max_layers)
@@ -524,8 +538,8 @@ class DockingEngine:
         slope = 1e3
         exhaustiveness = s.exhaustiveness
 
-        def dock_one(lig_d, dof_mask, ntors, rec_d, box, key):
-            energy_fns = {
+        def energy_fns_for(lig_d, rec_d, box):
+            fns = {
                 "eval_deriv": lambda conf, v: efn.eval_deriv(
                     lig_d, rec_d, conf, box, slope, v),
                 "eval_inter": lambda conf, v1: efn.eval_inter(
@@ -534,7 +548,7 @@ class DockingEngine:
                     lig_d, rec_d, conf, box, slope, v),
             }
             if use_cnn_metro:
-                energy_fns["eval_inter"] = lambda conf, v1: cnn_obj["value"](
+                fns["eval_inter"] = lambda conf, v1: cnn_obj["value"](
                     conf, cnn_obj["center_of"](conf), slope)
             if use_cnn_search:
                 def _cnn_deriv(conf, v):
@@ -545,44 +559,66 @@ class DockingEngine:
                     center = cnn_obj["center_of"](conf)
                     return cnn_obj["value"](conf, center, slope)
 
-                energy_fns["eval_deriv"] = _cnn_deriv
-                energy_fns["eval_energy"] = _cnn_value
-
-            keys = jax.random.split(key, exhaustiveness)
-            chains = jax.vmap(lambda kk: mc.run_mc_chain(
-                kk, lig_d, energy_fns, mcpar, box.lo, box.hi, max_layers,
-                dof_mask, ntors))(keys)
-            merged = mc.merge_containers(chains, lig_d.heavy_mask,
-                                         min_rmsd=2.0, out_slots=num_out)
-
-            # batched refinement of all saved poses (main.cpp:322-344)
-            def refine_one(pos, quat, tors, e_in):
-                conf = Conf(position=pos, orientation=quat, torsions=tors)
-                if use_cnn_refine:
-                    conf = self._cnn_refine(cnn_obj, lig_d, conf, box,
-                                            minpar, max_layers)
-                else:
-                    conf, _ = refine(lig_d, rec_d, conf, box)
-                # exact rescore: intramolecular + adjusted inter (always the
-                # empirical affinity, even in CNN modes — main.cpp:336-343)
-                intra = efn.eval_intra(lig_d, conf, cap[0])
-                inter = efn.eval_inter(lig_d, rec_d, conf, box, slope, cap[1])
-                coords = fk.fk_coords(lig_d, conf, max_layers)
-                valid = e_in < MAX_FL
-                return conf, jnp.where(valid, inter, MAX_FL), intra, coords
-
-            return jax.vmap(refine_one)(
-                merged.position, merged.orientation, merged.torsions,
-                merged.energy)
+                fns["eval_deriv"] = _cnn_deriv
+                fns["eval_energy"] = _cnn_value
+            return fns
 
         @jax.jit
-        def program(lig_batch, dof_masks, num_tors_b, rec_d, lo, hi, keys):
-            box = Box(lo=lo, hi=hi)
-            return jax.vmap(
-                lambda ld, dm, nt, k: dock_one(ld, dm, nt, rec_d, box, k))(
-                lig_batch, dof_masks, num_tors_b, keys)
+        def init_fn(lig_batch, lo, hi, keys):
+            def one(lig_d, key):
+                ks = jax.random.split(key, exhaustiveness)
+                return jax.vmap(lambda kk: mc.mc_init(
+                    kk, lig_d, mcpar, lo, hi))(ks)
 
-        return program
+            return jax.vmap(one)(lig_batch, keys)
+
+        @jax.jit
+        def chunk_fn(carry, lig_batch, dof_masks, num_tors_b, rec_d, lo, hi,
+                     keys):
+            box = Box(lo=lo, hi=hi)
+
+            def one(carry_l, lig_d, dof_mask, ntors, key):
+                fns = energy_fns_for(lig_d, rec_d, box)
+                ks = jax.random.split(key, exhaustiveness)
+                return jax.vmap(lambda c, kk: mc.mc_chunk(
+                    c, kk, chunk_steps, lig_d, fns, mcpar, max_layers,
+                    dof_mask, ntors))(carry_l, ks)
+
+            return jax.vmap(one)(carry, lig_batch, dof_masks, num_tors_b, keys)
+
+        @jax.jit
+        def finish_fn(carry, lig_batch, rec_d, lo, hi):
+            box = Box(lo=lo, hi=hi)
+
+            def one(carry_l, lig_d):
+                merged = mc.merge_containers(carry_l.cont, lig_d.heavy_mask,
+                                             min_rmsd=2.0, out_slots=num_out)
+
+                # batched refinement of saved poses (main.cpp:322-344)
+                def refine_one(pos, quat, tors, e_in):
+                    conf = Conf(position=pos, orientation=quat, torsions=tors)
+                    if use_cnn_refine:
+                        conf = self._cnn_refine(cnn_obj, lig_d, conf, box,
+                                                minpar, max_layers)
+                    else:
+                        conf, _ = refine(lig_d, rec_d, conf, box)
+                    # exact rescore (always the empirical affinity, even in
+                    # CNN modes — main.cpp:336-343)
+                    intra = efn.eval_intra(lig_d, conf, cap[0])
+                    inter = efn.eval_inter(lig_d, rec_d, conf, box, slope,
+                                           cap[1])
+                    coords = fk.fk_coords(lig_d, conf, max_layers)
+                    valid = e_in < MAX_FL
+                    return (conf, jnp.where(valid, inter, MAX_FL), intra,
+                            coords)
+
+                return jax.vmap(refine_one)(
+                    merged.position, merged.orientation, merged.torsions,
+                    merged.energy)
+
+            return jax.vmap(one)(carry, lig_batch)
+
+        return init_fn, chunk_fn, finish_fn
 
     def _cnn_refine(self, cnn_obj, lig_d: LigandData, conf: Conf, box: Box,
                     minpar: MinimizeParams, max_layers: int) -> Conf:

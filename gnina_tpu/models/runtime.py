@@ -33,12 +33,13 @@ def _resolve(arg, env, params):
     raise ValueError(f"bad arg {arg}")
 
 
-def _pool_dims(kernel, stride, pad):
+def _pool_dims(kernel, stride, pad, ndim=5):
     if not stride:  # torch semantics: empty stride list means stride=kernel
         stride = kernel
-    window = (1, 1) + tuple(kernel)
-    strides = (1, 1) + tuple(stride)
-    padding = ((0, 0), (0, 0)) + tuple((p, p) for p in pad)
+    lead = ndim - len(kernel)
+    window = (1,) * lead + tuple(kernel)
+    strides = (1,) * lead + tuple(stride)
+    padding = ((0, 0),) * lead + tuple((p, p) for p in pad)
     return window, strides, padding
 
 
@@ -64,11 +65,11 @@ def execute(spec: dict, params: Dict[str, jnp.ndarray], x: jnp.ndarray,
             return _resolve(args[i], env, params)
 
         if kind == "aten::max_pool3d":
-            window, strides, padding = _pool_dims(A(1), A(2), A(3))
+            window, strides, padding = _pool_dims(A(1), A(2), A(3), A(0).ndim)
             out = jax.lax.reduce_window(A(0), -jnp.inf, jax.lax.max,
                                         window, strides, padding)
         elif kind == "aten::avg_pool3d":
-            window, strides, padding = _pool_dims(A(1), A(2), A(3))
+            window, strides, padding = _pool_dims(A(1), A(2), A(3), A(0).ndim)
             s = jax.lax.reduce_window(A(0), 0.0, jax.lax.add,
                                       window, strides, padding)
             out = s / float(np.prod(A(1)))
@@ -103,7 +104,9 @@ def execute(spec: dict, params: Dict[str, jnp.ndarray], x: jnp.ndarray,
                      for i, s in enumerate(shape)]
             out = jnp.reshape(A(0), shape)
         elif kind == "aten::flatten":
-            out = jnp.reshape(A(0), (A(0).shape[0], -1))
+            x = A(0)
+            start = A(1) if len(args) > 1 and args[1][0] == "const" and args[1][1] is not None else 1
+            out = jnp.reshape(x, x.shape[:start] + (-1,))
         elif kind == "aten::linear":
             w, b = A(1), A(2)
             out = jnp.matmul(A(0), w.T, precision=precision)
@@ -129,11 +132,53 @@ def execute(spec: dict, params: Dict[str, jnp.ndarray], x: jnp.ndarray,
             out = jnp.squeeze(A(0), axis=A(1))
         elif kind in ("aten::dropout", "aten::feature_dropout"):
             out = A(0)  # inference mode
+        elif kind == "aten::slice":
+            x, dim, start, end = A(0), A(1), A(2), A(3)
+            step = A(4) if len(args) > 4 else 1
+            size = x.shape[dim]
+            start = 0 if start is None else (start + size if start < 0 else start)
+            end = size if end is None or end > size else (end + size if end < 0 else end)
+            idx = [slice(None)] * x.ndim
+            idx[dim] = slice(start, end, step)
+            out = x[tuple(idx)]
+        elif kind == "aten::select":
+            x, dim, i = A(0), A(1), A(2)
+            out = jnp.take(x, i, axis=dim)
+        elif kind == "aten::mul":
+            out = A(0) * A(1)
+        elif kind == "aten::sub":
+            out = A(0) - A(1)
+        elif kind == "aten::div":
+            out = A(0) / A(1)
+        elif kind == "aten::exp":
+            out = jnp.exp(A(0))
+        elif kind == "aten::where":
+            out = jnp.where(A(0), A(1), A(2))
+        elif kind == "aten::gt":
+            out = A(0) > A(1)
+        elif kind == "aten::lt":
+            out = A(0) < A(1)
+        elif kind == "aten::zeros_like":
+            out = jnp.zeros_like(A(0))
+        elif kind == "aten::zeros":
+            out = jnp.zeros(tuple(A(0)), jnp.float32)
+        elif kind == "aten::ones":
+            out = jnp.ones(tuple(A(0)), jnp.float32)
+        elif kind == "aten::hstack":
+            out = jnp.hstack(A(0))
+        elif kind == "aten::unsqueeze":
+            out = jnp.expand_dims(A(0), A(1))
         else:
             raise NotImplementedError(kind)
         env[op["out"]] = out
 
-    return [env[n] for n in spec["output"]]
+    outs = []
+    for o in spec["output"]:
+        if isinstance(o, str):  # legacy spec format: plain env names
+            outs.append(env[o])
+        else:
+            outs.append(_resolve(o, env, params))
+    return outs
 
 
 def load_spec(spec_path: str, npz_path: str):
@@ -150,6 +195,8 @@ def load_spec(spec_path: str, npz_path: str):
 
     for op in spec["ops"]:
         op["in"] = [tupled(a) for a in op["in"]]
+    spec["output"] = [o if isinstance(o, str) else tupled(o)
+                      for o in spec["output"]]
     raw = np.load(npz_path)
     params = {k: jnp.asarray(raw[k]) for k in raw.files}
     return spec, params

@@ -25,6 +25,10 @@ SUPPORTED_OPS = {
     "aten::t", "aten::addmm", "aten::matmul", "aten::add", "aten::add_",
     "aten::dropout", "aten::feature_dropout", "aten::size",
     "prim::NumToTensor", "aten::Int", "aten::ScalarImplicit",
+    "aten::slice", "aten::select", "aten::mul", "aten::where",
+    "aten::gt", "aten::lt", "aten::zeros_like", "aten::hstack",
+    "aten::zeros", "aten::ones", "aten::sub", "aten::div", "aten::exp",
+    "aten::unsqueeze",
 }
 
 
@@ -119,7 +123,8 @@ def import_torchscript(path: str) -> Tuple[dict, Dict[str, np.ndarray]]:
                     vals.append(c)
             consts[ref(node.output())] = ("list", vals)
         elif kind == "prim::TupleConstruct":
-            output_names = [ref(i) for i in node.inputs()]
+            output_names = [consts.get(ref(i), ("ref", ref(i)))
+                            for i in node.inputs()]
             consts[ref(node.output())] = ("tuple", output_names)
         elif kind.startswith("aten::") or kind in (
                 "prim::NumToTensor",):
@@ -141,7 +146,7 @@ def import_torchscript(path: str) -> Tuple[dict, Dict[str, np.ndarray]]:
 
     graph_out = list(g.outputs())[0]
     if not output_names:
-        output_names = [ref(graph_out)]
+        output_names = [consts.get(ref(graph_out), ("ref", ref(graph_out)))]
 
     spec = {"metadata": meta, "ops": ops, "output": output_names,
             "input": input_name}

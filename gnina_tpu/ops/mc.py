@@ -155,22 +155,39 @@ def metropolis_accept(key, old_f, new_f, temperature):
                           jax.random.uniform(key, (), jnp.float32) < accept_p)
 
 
-def run_mc_chain(key, lig: LigandData, energy_fn, params: MCParams,
-                 corner1, corner2, max_layers: int, dof_mask,
-                 num_real_torsions) -> PoseContainer:
-    """One MC chain (monte_carlo.cpp:99-148).
+class MCCarry(NamedTuple):
+    """Resumable MC chain state: carrying it across program invocations
+    chunks the search (bounded program run times, preemption recovery)."""
 
-    energy_fn(conf, v3, cap_scalar_unused) contract:
+    conf: Conf
+    e: jnp.ndarray
+    best_e: jnp.ndarray
+    cont: PoseContainer
+
+
+def mc_init(key, lig: LigandData, params: MCParams, corner1, corner2) -> MCCarry:
+    t = lig.num_torsion_slots
+    n = lig.types.shape[0]
+    conf0 = randomize_conf(key, lig, corner1, corner2, t)
+    return MCCarry(conf=conf0, e=jnp.float32(MAX_FL),
+                   best_e=jnp.float32(MAX_FL),
+                   cont=empty_container(params.num_saved_mins, t, n))
+
+
+def mc_chunk(carry: MCCarry, key, num_steps: int, lig: LigandData, energy_fn,
+             params: MCParams, max_layers: int, dof_mask,
+             num_real_torsions) -> MCCarry:
+    """Run num_steps MC steps from a carried state (monte_carlo.cpp:99-148).
+
+    energy_fn contract:
       eval_deriv(conf, v) -> (e, g) for BFGS;
-      eval_inter(conf, v1) -> metropolis/update energy.
-    Provided via a small dict to keep this module decoupled from energy.py.
+      eval_inter(conf, v1) -> metropolis/update energy;
+      eval_energy(conf, v) -> forward-only energy (line-search trials).
     """
     eval_deriv = energy_fn["eval_deriv"]
     eval_inter = energy_fn["eval_inter"]
     eval_energy = energy_fn.get("eval_energy")
 
-    t = lig.num_torsion_slots
-    n = lig.types.shape[0]
     hunt_cap = jnp.asarray(params.hunt_cap, jnp.float32)
     authentic_v = jnp.array([1000.0, 1000.0, 1000.0], jnp.float32)
 
@@ -183,16 +200,7 @@ def run_mc_chain(key, lig: LigandData, energy_fn, params: MCParams,
     fv_hunt = (lambda c: eval_energy(c, hunt_cap)) if eval_energy else None
     fv_full = (lambda c: eval_energy(c, authentic_v)) if eval_energy else None
 
-    k_init, k_loop = jax.random.split(key)
-    conf0 = randomize_conf(k_init, lig, corner1, corner2, t)
-
-    cont0 = empty_container(params.num_saved_mins, t, n)
-
-    class Carry(NamedTuple):
-        conf: Conf
-        e: jnp.ndarray
-        best_e: jnp.ndarray
-        cont: PoseContainer
+    Carry = MCCarry
 
     def step(carry: Carry, k):
         k1, k2 = jax.random.split(k)
@@ -236,10 +244,20 @@ def run_mc_chain(key, lig: LigandData, energy_fn, params: MCParams,
                            new_e, carry.best_e)
         return Carry(conf=new_conf, e=new_e, best_e=best_e, cont=cont), None
 
-    init = Carry(conf=conf0, e=jnp.float32(MAX_FL), best_e=jnp.float32(MAX_FL),
-                 cont=cont0)
-    keys = jax.random.split(k_loop, params.num_steps)
-    final, _ = jax.lax.scan(step, init, keys)
+    keys = jax.random.split(key, num_steps)
+    final, _ = jax.lax.scan(step, carry, keys)
+    return final
+
+
+def run_mc_chain(key, lig: LigandData, energy_fn, params: MCParams,
+                 corner1, corner2, max_layers: int, dof_mask,
+                 num_real_torsions) -> PoseContainer:
+    """Full MC chain in one program (init + all steps); prefer the chunked
+    mc_init/mc_chunk pair for long runs."""
+    k_init, k_loop = jax.random.split(key)
+    carry = mc_init(k_init, lig, params, corner1, corner2)
+    final = mc_chunk(carry, k_loop, params.num_steps, lig, energy_fn,
+                     params, max_layers, dof_mask, num_real_torsions)
     return final.cont
 
 
