@@ -52,17 +52,26 @@ def main():
     results = results_b[0]
 
     lps = batch / elapsed
+    # normalize to the reference's default search effort so vs_baseline is
+    # apples-to-apples: the heuristic step count for this ligand is ~28.7k
+    # (main.cpp:449-456) while the bench runs `steps` per chain
+    heuristic_steps = int(70 * 3 * (50 + lig.num_atoms
+                                    + 10 * (6 + lig.num_torsions)) / 2)
+    lps_default_effort = lps * steps / heuristic_steps
     out = {
         "metric": "ligands_docked_per_sec",
         "value": round(lps, 4),
         "unit": "ligand/s/chip",
-        "vs_baseline": round(lps / V100_LIGANDS_PER_SEC, 2),
+        "vs_baseline": round(lps_default_effort / V100_LIGANDS_PER_SEC, 3),
         "detail": {
             "config": f"10gs redock x{batch} batch, vina, exhaustiveness=8, "
                       f"{steps} MC steps/chain, cnn=none",
             "wall_s": round(elapsed, 2),
             "first_call_s": round(compile_and_run, 2),
             "num_poses": len(results),
+            "steps_per_chain": steps,
+            "heuristic_steps": heuristic_steps,
+            "lps_at_default_effort": round(lps_default_effort, 5),
             "best_affinity": round(results[0].energy, 3) if results else None,
         },
     }
