@@ -24,6 +24,7 @@ import numpy as np
 from gnina_tpu.chem.ingest import Receptor, box_from_center_size
 from gnina_tpu.chem.tree_build import LigandStruct
 from gnina_tpu.constants import MAX_FL
+from gnina_tpu.ops import cache_grid as cg
 from gnina_tpu.ops import fk, mc
 from gnina_tpu.ops.bfgs import MinimizeParams, bfgs
 from gnina_tpu.ops.energy import Box, make_energy_fn
@@ -52,6 +53,8 @@ class DockSettings:
     cnn_rotations: int = 0
     sort_order: str = "auto"       # auto|CNNscore|CNNaffinity|Energy
     mc_chunk_steps: int = 256      # steps per device program execution
+    search_grid: bool = True       # MC search on precomputed cache grids
+                                   # (the reference's default, cache.cpp)
 
 
 @dataclasses.dataclass
@@ -420,13 +423,42 @@ class DockingEngine:
 
         num_steps = max(_num_steps_heuristic(l, s) for l in ligs)
         miniters = max(_minimize_iters_heuristic(l, s) for l in ligs)
+
+        grids = None
+        if s.search_grid:
+            grids = self._populate_cache(ligs, rec_d, lo, hi)
         return self._run_dock_program(
             rec, ligs, lig_batch, dof_masks, num_tors_b, rec_d, box,
-            max_layers, num_steps, miniters, seed)
+            max_layers, num_steps, miniters, seed, grids)
+
+    def _populate_cache(self, ligs, rec_d, lo, hi, num_slots: int = 16):
+        """Build the per-type search grids for this receptor/box
+        (cache::populate, cache.cpp:104-184), shared by the ligand batch."""
+        types = sorted({int(t) for l in ligs for t in l.types
+                        if int(t) > 1})  # movable non-hydrogen types
+        if len(types) > num_slots:
+            return None  # fall back to analytic search
+        slot_of_type = np.zeros(28, np.int32)
+        gridded = np.zeros(28, bool)
+        slot_types = np.zeros(num_slots, np.int32)
+        for i, t in enumerate(types):
+            slot_of_type[t] = i
+            gridded[t] = True
+            slot_types[i] = t
+        npts = cg.grid_shape_for(lo, hi)
+        charge_terms = self.sf.has_charge_terms
+        key = ("populate", npts, num_slots, rec_d.types.shape[0], charge_terms)
+        if key not in self._programs:
+            self._programs[key] = jax.jit(cg.make_populate_fn(
+                self.sf, npts, num_slots, charge_terms))
+        return self._programs[key](
+            rec_d, jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(slot_types),
+            jnp.asarray(slot_of_type), jnp.asarray(gridded))
 
     def _run_dock_program(self, rec, ligs, lig_batch, dof_masks, num_tors_b,
                           rec_d, box, max_layers, num_steps, miniters,
-                          seed: Optional[int]) -> List[List[PoseResult]]:
+                          seed: Optional[int], grids=None
+                          ) -> List[List[PoseResult]]:
         s = self.settings
         num_out = max(s.num_modes, s.num_mc_saved)
 
@@ -458,15 +490,17 @@ class DockingEngine:
             cnn_obj = self._build_cnn_objective(rec, ligs[0], lig0_d, box,
                                                 max_layers)
 
+        use_grid_search = grids is not None and not use_cnn_search
         chunk = min(num_steps, int(self.settings.mc_chunk_steps) or num_steps)
         prog_key = (max_layers, chunk, miniters, s.exhaustiveness,
-                    num_out, mode, has_cnn)
+                    num_out, mode, has_cnn, use_grid_search)
         if cnn_obj is None and prog_key in self._programs:
             progs = self._programs[prog_key]
         else:
             progs = self._build_dock_program(
                 max_layers, chunk, miniters, num_out, cnn_obj,
-                use_cnn_metro, use_cnn_refine, use_cnn_search)
+                use_cnn_metro, use_cnn_refine, use_cnn_search,
+                use_grid_search)
             if cnn_obj is None:
                 self._programs[prog_key] = progs
 
@@ -477,10 +511,19 @@ class DockingEngine:
         carry = init_fn(lig_batch, box.lo, box.hi, keys)
         done = 0
         ci = 0
+        if grids is None:
+            # analytic path still threads a dummy grids pytree
+            grids = cg.CacheGrids(
+                data=jnp.zeros((1, 1, 1, 1), jnp.float32),
+                chargedata=jnp.zeros((1, 1, 1, 1), jnp.float32),
+                slot_of_type=jnp.zeros(28, jnp.int32),
+                type_gridded=jnp.zeros(28, bool),
+                origin=jnp.zeros(3, jnp.float32),
+                dims_minus_1=jnp.zeros(3, jnp.float32))
         while done < num_steps:
             ckeys = jax.vmap(lambda kk: jax.random.fold_in(kk, 1000 + ci))(keys)
             carry = chunk_fn(carry, lig_batch, dof_masks, num_tors_b, rec_d,
-                             box.lo, box.hi, ckeys)
+                             grids, box.lo, box.hi, ckeys)
             done += chunk
             ci += 1
         confs, inters, intras, coords = finish_fn(
@@ -519,7 +562,7 @@ class DockingEngine:
 
     def _build_dock_program(self, max_layers, chunk_steps, miniters, num_out,
                             cnn_obj, use_cnn_metro, use_cnn_refine,
-                            use_cnn_search):
+                            use_cnn_search, use_grid_search=False):
         """Three jitted programs: chain init, a bounded MC chunk, and the
         merge+refine finish.  Chunking keeps each device program execution
         short (the single-chip tunnel kills very long executions) and the
@@ -538,7 +581,7 @@ class DockingEngine:
         slope = 1e3
         exhaustiveness = s.exhaustiveness
 
-        def energy_fns_for(lig_d, rec_d, box):
+        def energy_fns_for(lig_d, rec_d, box, grids=None):
             fns = {
                 "eval_deriv": lambda conf, v: efn.eval_deriv(
                     lig_d, rec_d, conf, box, slope, v),
@@ -547,6 +590,29 @@ class DockingEngine:
                 "eval_energy": lambda conf, v: efn.eval_energy(
                     lig_d, rec_d, conf, box, slope, v),
             }
+            if use_grid_search and grids is not None:
+                # MC minimization on the precomputed grids (do_search passes
+                # the cache as the search igrid, main.cpp:504); metropolis
+                # and refinement stay on the analytic path (= non_cache)
+                def grid_total(conf, v):
+                    coords = fk.fk_coords(lig_d, conf, max_layers)
+                    e = cg.cache_inter_energy(
+                        grids, coords, lig_d.types, lig_d.charges,
+                        lig_d.heavy_mask, slope, v[1])
+                    return e + efn.pairs_on_coords(lig_d, coords, v[0], v[2])
+
+                def grid_deriv(conf, v):
+                    t = conf.torsions.shape[-1]
+
+                    def f(eps):
+                        return grid_total(
+                            fk.conf_with_increment_var(conf, eps), v)
+
+                    return jax.value_and_grad(f)(
+                        jnp.zeros((6 + t,), jnp.float32))
+
+                fns["eval_deriv"] = grid_deriv
+                fns["eval_energy"] = grid_total
             if use_cnn_metro:
                 fns["eval_inter"] = lambda conf, v1: cnn_obj["value"](
                     conf, cnn_obj["center_of"](conf), slope)
@@ -573,12 +639,12 @@ class DockingEngine:
             return jax.vmap(one)(lig_batch, keys)
 
         @jax.jit
-        def chunk_fn(carry, lig_batch, dof_masks, num_tors_b, rec_d, lo, hi,
-                     keys):
+        def chunk_fn(carry, lig_batch, dof_masks, num_tors_b, rec_d, grids,
+                     lo, hi, keys):
             box = Box(lo=lo, hi=hi)
 
             def one(carry_l, lig_d, dof_mask, ntors, key):
-                fns = energy_fns_for(lig_d, rec_d, box)
+                fns = energy_fns_for(lig_d, rec_d, box, grids)
                 ks = jax.random.split(key, exhaustiveness)
                 return jax.vmap(lambda c, kk: mc.mc_chunk(
                     c, kk, chunk_steps, lig_d, fns, mcpar, max_layers,

@@ -63,6 +63,7 @@ class EnergyFn:
     eval_inter: Callable      # rec-lig part only, uncapped v
     eval_intra: Callable      # intra-ligand pairs only
     eval_other: Callable = None  # flex "other" pairs only
+    pairs_on_coords: Callable = None  # (lig, coords, v0, v2) -> intra+other
 
 
 def make_energy_fn(sf: ScoringFunction, max_layers: int) -> EnergyFn:
@@ -160,9 +161,13 @@ def make_energy_fn(sf: ScoringFunction, max_layers: int) -> EnergyFn:
         coords = fk.fk_coords(lig, conf, max_layers)
         return other_energy(lig, coords, v2)
 
+    def pairs_on_coords(lig, coords, v0, v2):
+        return intra_energy(lig, coords, v0) + other_energy(lig, coords, v2)
+
     return EnergyFn(sf=sf, max_layers=max_layers, eval_energy=total_energy,
                     eval_deriv=eval_deriv, eval_inter=eval_inter,
-                    eval_intra=eval_intra, eval_other=eval_other)
+                    eval_intra=eval_intra, eval_other=eval_other,
+                    pairs_on_coords=pairs_on_coords)
 
 
 AUTHENTIC_V = jnp.array([1000.0, 1000.0, 1000.0], jnp.float32)
