@@ -46,6 +46,9 @@ class Receptor:
             mol.mark_amides()
         elif ext in (".pdb", ".ent"):
             mol = pdb.parse_pdb(text, name=path)
+        elif ext == ".xyz":
+            mol = parse_xyz(text, name=path)
+            mol.perceive_aromaticity()
         else:
             raise ValueError(f"unsupported receptor format: {ext}")
         types = mol.assign_smina_types()
@@ -71,9 +74,27 @@ class Receptor:
                         types=self.types[idx], charges=self.charges[idx])
 
 
+def parse_xyz(text: str, name: str = ""):
+    """Minimal XYZ reader (test fixtures use single/few-atom XYZ files)."""
+    from gnina_tpu.chem import elements as el
+    from gnina_tpu.chem.mol import Atom, Molecule
+
+    lines = text.splitlines()
+    n = int(lines[0].split()[0])
+    mol = Molecule(name=name or (lines[1].strip() if len(lines) > 1 else ""))
+    for ln in lines[2:2 + n]:
+        parts = ln.split()
+        anum = el.symbol_to_anum(parts[0])
+        mol.atoms.append(Atom(anum=anum, coords=np.array(
+            [float(parts[1]), float(parts[2]), float(parts[3])], np.float32),
+            element_name=parts[0]))
+    mol.perceive_bonds()
+    return mol
+
+
 def iter_ligands(path: str, table: AtomTypeTable = DEFAULT_TABLE,
                  keep_hydrogens: bool = True) -> Iterator[LigandStruct]:
-    """Stream ligands from SDF/MOL/PDBQT/PDB files (multi-record aware)."""
+    """Stream ligands from SDF/MOL/PDBQT/PDB/XYZ files (multi-record aware)."""
     text = _read_text(path)
     base = path[:-3] if path.endswith(".gz") else path
     ext = os.path.splitext(base)[1].lower()
@@ -91,6 +112,9 @@ def iter_ligands(path: str, table: AtomTypeTable = DEFAULT_TABLE,
     elif ext == ".pdb":
         mol = pdb.parse_pdb(text, name=os.path.basename(base))
         yield build_tree_from_molecule(mol, table)
+    elif ext == ".xyz":
+        yield build_tree_from_molecule(parse_xyz(text, os.path.basename(base)),
+                                       table)
     else:
         raise ValueError(f"unsupported ligand format: {ext}")
 

@@ -78,6 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
                                "metrorescore", "metrorefine", "all"])
     gcnn.add_argument("--cnn", action="append", default=[],
                       help="built-in model name(s) or ensemble")
+    gcnn.add_argument("--cnn_model", action="append", default=[],
+                      help="TorchScript model file(s) to convert and use")
     gcnn.add_argument("--cnn_rotations", type=int, default=0)
     gcnn.add_argument("--cnn_center_x", type=float)
     gcnn.add_argument("--cnn_center_y", type=float)
@@ -192,7 +194,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.cnn_center_x is not None:
             center = np.array([args.cnn_center_x, args.cnn_center_y,
                                args.cnn_center_z], np.float32)
-        cnn = CNNScorer(model_names=args.cnn or None,
+        cnn = CNNScorer(model_names=(args.cnn + args.cnn_model) or None,
                         rotations=args.cnn_rotations, seed=args.seed,
                         center=center, verbose=args.cnn_verbose)
 

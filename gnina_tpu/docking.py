@@ -224,11 +224,19 @@ class DockingEngine:
         iters = min(iters, 10000)
         minpar = MinimizeParams(maxiters=iters, type="accurate")
 
+        use_cnn_refine = (self.cnn is not None and self.settings.cnn_scoring
+                          in ("refinement", "metrorefine", "all"))
+        cnn_obj = (self._build_cnn_objective(rec, lig, lig_d, box, max_layers)
+                   if use_cnn_refine else None)
         refine = self._build_refine(efn, minpar, cap)
 
         @jax.jit
         def program(lig_d, rec_d, conf):
-            conf, e = refine(lig_d, rec_d, conf, box)
+            if use_cnn_refine:
+                conf = self._cnn_refine(cnn_obj, lig_d, conf, box, minpar,
+                                        max_layers)
+            else:
+                conf, _e = refine(lig_d, rec_d, conf, box)
             big = Box(lo=jnp.full(3, -1e8), hi=jnp.full(3, 1e8))
             inter = efn.eval_inter(lig_d, rec_d, conf, big, 0.0, cap[1])
             intra = efn.eval_intra(lig_d, conf, cap[0])

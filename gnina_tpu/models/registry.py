@@ -138,13 +138,32 @@ def _convert(name: str) -> str:
         f"directory available (set GNINA_TPU_TORCH_MODELS)")
 
 
-def load_model(name: str) -> CNNModel:
-    from gnina_tpu.models.runtime import load_spec
+def load_model_from_file(path: str) -> CNNModel:
+    """Convert + load a user-supplied TorchScript checkpoint (--cnn_model)."""
+    import hashlib
 
+    from gnina_tpu.models.torchscript_import import convert_and_save
+
+    tag = "file_" + hashlib.sha1(path.encode()).hexdigest()[:16]
+    spec_path = os.path.join(_CACHE_DIR, f"{tag}.spec.json")
+    if not os.path.exists(spec_path):
+        spec_path = convert_and_save(path, _CACHE_DIR, tag)
+    return _load_converted(tag, spec_path)
+
+
+def load_model(name: str) -> CNNModel:
+    if name.endswith(".pt") and os.path.exists(name):
+        return load_model_from_file(name)
     name = name.replace(".", "_")
     spec_path = _find_converted(name)
     if spec_path is None:
         spec_path = _convert(name)
+    return _load_converted(name, spec_path)
+
+
+def _load_converted(name: str, spec_path: str) -> CNNModel:
+    from gnina_tpu.models.runtime import load_spec
+
     spec, params = load_spec(spec_path, spec_path.replace(".spec.json", ".npz"))
     meta = spec.get("metadata", {}) or {}
     recmap = meta.get("recmap", DEFAULT_RECMAP)
