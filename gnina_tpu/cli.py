@@ -233,71 +233,142 @@ def main(argv: Optional[List[str]] = None) -> int:
         size = np.array([args.size_x, args.size_y, args.size_z], np.float32)
 
     cnn_enabled = cnn is not None
+
+    def load_all_ligands():
+        for ligpath in args.ligand:
+            for lig in ingest.iter_ligands(ligpath):
+                if flex_residues:
+                    from gnina_tpu.chem.tree_build import attach_flex
+
+                    lig = attach_flex(lig, flex_residues)
+                yield lig
+
+    docking_mode = not (args.score_only or args.local_only or args.minimize
+                        or args.randomize_only)
+    if docking_mode and center is not None:
+        # virtual-screen path: bucket the ligand stream by shape and dock
+        # each bucket as one batched device program (the reference streams
+        # one ligand per worker thread; here the batch IS the parallelism)
+        return _run_screen(args, engine, rec, center, size, load_all_ligands(),
+                           cnn_enabled, log, t_start)
+
     out_chunks: List[str] = []
-    for ligpath in args.ligand:
-        for lig in ingest.iter_ligands(ligpath):
-            if flex_residues:
-                from gnina_tpu.chem.tree_build import attach_flex
-
-                lig = attach_flex(lig, flex_residues)
-            log.write(f"\n## {lig.name}\n")
-            if args.score_only:
-                r = engine.score_only(rec, lig)
-                log.write(f"Affinity: {r.energy:.5f} (kcal/mol)\n")
-                log.write(f"CNNscore: {r.cnnscore:.5f} \n")
-                log.write(f"CNNaffinity: {r.cnnaffinity:.5f}\n")
-                if r.cnnvariance > 0:
-                    log.write(f"CNNvariance: {r.cnnvariance:.5f}\n")
-                log.write(f"Intramolecular energy: {r.intramol:.5f}\n")
-                if args.atom_terms:
-                    vals = engine.term_values(rec, lig)
-                    log.write("Term values, before weighting:\n## "
-                              + " ".join(f"{v:.5f}" for v in vals) + "\n")
-                results = [r]
-            elif args.randomize_only:
-                if center is None:
-                    lo = lig.orig_coords.min(axis=0) - args.autobox_add
-                    hi = lig.orig_coords.max(axis=0) + args.autobox_add
-                    rcenter, rsize = (lo + hi) / 2, hi - lo
-                else:
-                    rcenter, rsize = center, size
-                results = [engine.randomize(rec, lig, rcenter, rsize,
-                                            seed=args.seed + i)
-                           for i in range(args.num_modes)]
-                for r in results:
-                    log.write(f"Clash penalty: {r.energy:.5f}\n")
-            elif args.local_only or args.minimize:
-                r = engine.minimize(rec, lig, center, size)
-                log.write(f"Affinity: {r.energy:.5f}  {r.intramol:.5f} "
-                          f"(kcal/mol)\nRMSD: {r.rmsd:.5f}\n")
-                log.write(f"CNNscore: {r.cnnscore:.5f} \n")
-                log.write(f"CNNaffinity: {r.cnnaffinity:.5f}\n")
-                results = [r]
+    for lig in load_all_ligands():
+        log.write(f"\n## {lig.name}\n")
+        if args.score_only:
+            r = engine.score_only(rec, lig)
+            log.write(f"Affinity: {r.energy:.5f} (kcal/mol)\n")
+            log.write(f"CNNscore: {r.cnnscore:.5f} \n")
+            log.write(f"CNNaffinity: {r.cnnaffinity:.5f}\n")
+            if r.cnnvariance > 0:
+                log.write(f"CNNvariance: {r.cnnvariance:.5f}\n")
+            log.write(f"Intramolecular energy: {r.intramol:.5f}\n")
+            if args.atom_terms:
+                vals = engine.term_values(rec, lig)
+                log.write("Term values, before weighting:\n## "
+                          + " ".join(f"{v:.5f}" for v in vals) + "\n")
+            results = [r]
+        elif args.randomize_only:
+            if center is None:
+                lo = lig.orig_coords.min(axis=0) - args.autobox_add
+                hi = lig.orig_coords.max(axis=0) + args.autobox_add
+                rcenter, rsize = (lo + hi) / 2, hi - lo
             else:
-                if center is None:
-                    log.write("ERROR: search box required (--autobox_ligand "
-                              "or --center/--size)\n")
-                    return 1
-                box_size = size
-                if args.autobox_ligand and args.autobox_extend:
-                    # ensure box fits ligand max span (main.cpp:1479-1484)
-                    span = lig.max_span() + 4
-                    box_size = np.maximum(size, span)
-                results = engine.dock(rec, lig, center, box_size,
-                                      seed=args.seed)
-                log.write("mode |  affinity  |  intramol  |    CNN     |   CNN\n")
-                log.write("     | (kcal/mol) | (kcal/mol) | pose score | affinity\n")
-                log.write("-----+------------+------------+------------+----------\n")
-                for i, r in enumerate(results):
-                    log.write(f"{i + 1:5d} {r.energy:11.2f} {r.intramol:11.2f} "
-                              f"{r.cnnscore:11.4f} {r.cnnaffinity:9.3f}\n")
-            if args.out:
-                out_chunks.append(write_poses_sdf(lig, results, cnn_enabled))
-
+                rcenter, rsize = center, size
+            results = [engine.randomize(rec, lig, rcenter, rsize,
+                                        seed=args.seed + i)
+                       for i in range(args.num_modes)]
+            for r in results:
+                log.write(f"Clash penalty: {r.energy:.5f}\n")
+        elif args.local_only or args.minimize:
+            r = engine.minimize(rec, lig, center, size)
+            log.write(f"Affinity: {r.energy:.5f}  {r.intramol:.5f} "
+                      f"(kcal/mol)\nRMSD: {r.rmsd:.5f}\n")
+            log.write(f"CNNscore: {r.cnnscore:.5f} \n")
+            log.write(f"CNNaffinity: {r.cnnaffinity:.5f}\n")
+            results = [r]
+        else:
+            if center is None:
+                log.write("ERROR: search box required (--autobox_ligand "
+                          "or --center/--size)\n")
+                return 1
+            box_size = size
+            if args.autobox_ligand and args.autobox_extend:
+                # ensure box fits ligand max span (main.cpp:1479-1484)
+                span = lig.max_span() + 4
+                box_size = np.maximum(size, span)
+            results = engine.dock(rec, lig, center, box_size,
+                                  seed=args.seed)
+            log.write("mode |  affinity  |  intramol  |    CNN     |   CNN\n")
+            log.write("     | (kcal/mol) | (kcal/mol) | pose score | affinity\n")
+            log.write("-----+------------+------------+------------+----------\n")
+            for i, r in enumerate(results):
+                log.write(f"{i + 1:5d} {r.energy:11.2f} {r.intramol:11.2f} "
+                          f"{r.cnnscore:11.4f} {r.cnnaffinity:9.3f}\n")
+        if args.out:
+            out_chunks.append(write_poses_sdf(lig, results, cnn_enabled))
     if args.out:
         with open(args.out, "w") as f:
             f.write("".join(out_chunks))
 
+    log.write(f"\nLoop time {time.time() - t_start:.2f}\n")
+    log.close()
+    return 0
+
+
+def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
+                log, t_start) -> int:
+    """Batched virtual screen: bucket ligands by padded shape, dock each
+    bucket with one compiled program, write results in input order."""
+    from gnina_tpu.output import write_poses_sdf
+
+    def bucket_key(lig):
+        def up(x, m):
+            return ((x + m - 1) // m) * m
+
+        return (up(lig.num_atoms, 8), up(lig.num_nodes, 4))
+
+    batch_size = 8
+    all_ligs = list(ligands)
+    order = {id(l): i for i, l in enumerate(all_ligs)}
+    buckets = {}
+    for lig in all_ligs:
+        buckets.setdefault(bucket_key(lig), []).append(lig)
+
+    results_by_idx = {}
+    for key, blist in buckets.items():
+        for i in range(0, len(blist), batch_size):
+            chunk = blist[i:i + batch_size]
+            box_size = np.asarray(size)
+            if args.autobox_ligand and args.autobox_extend:
+                span = max(l.max_span() for l in chunk) + 4
+                box_size = np.maximum(box_size, span)
+            try:
+                res_b = engine.dock_batch(rec, chunk, center, box_size,
+                                          seed=args.seed)
+            except Exception as e:
+                # per-batch isolation (the reference isolates per ligand,
+                # main.cpp:406-409)
+                log.write(f"ERROR processing batch: {e}\n")
+                res_b = [[] for _ in chunk]
+            for lig, res in zip(chunk, res_b):
+                results_by_idx[order[id(lig)]] = (lig, res)
+
+    out_chunks = []
+    for i in range(len(all_ligs)):
+        lig, results = results_by_idx[i]
+        log.write(f"\n## {lig.name}\n")
+        log.write("mode |  affinity  |  intramol  |    CNN     |   CNN\n")
+        log.write("     | (kcal/mol) | (kcal/mol) | pose score | affinity\n")
+        log.write("-----+------------+------------+------------+----------\n")
+        for j, r in enumerate(results):
+            log.write(f"{j + 1:5d} {r.energy:11.2f} {r.intramol:11.2f} "
+                      f"{r.cnnscore:11.4f} {r.cnnaffinity:9.3f}\n")
+        if args.out:
+            out_chunks.append(write_poses_sdf(lig, results, cnn_enabled))
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("".join(out_chunks))
     log.write(f"\nLoop time {time.time() - t_start:.2f}\n")
     log.close()
     return 0
