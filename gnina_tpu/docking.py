@@ -138,13 +138,33 @@ class DockingEngine:
         conf = initial_conf(lig, lig_d.num_torsion_slots)
         v = jnp.full((3,), self.settings.forcecap, jnp.float32)
 
+        # flex bookkeeping: intramolecular = lig-intra + flex-rigid +
+        # flex-flex; the affinity argument is everything else
+        # (model.cu:352-407 eval_intramolecular + eval_adjusted)
+        import jax.numpy as _jnp
+
+        opairs = lig.other_pairs if lig.other_pairs is not None else \
+            np.zeros((0, 2), np.int32)
+        nl = lig.lig_atoms
+        ff = np.array([(a >= nl and b >= nl) for a, b in opairs], bool)
+        q_pad = lig_d.opair_mask.shape[0]
+        ff_mask = jnp.asarray(np.pad(ff, (0, q_pad - len(ff))))
+        lig_heavy = lig_d.lig_heavy_mask
+
         @jax.jit
         def program(lig_d, rec_d, conf):
             # naive (no box penalty): use an enormous box
             big = Box(lo=jnp.full(3, -1e8), hi=jnp.full(3, 1e8))
-            inter = efn.eval_inter(lig_d, rec_d, conf, big, 0.0, v[1])
+            inter_all = efn.eval_inter(lig_d, rec_d, conf, big, 0.0, v[1])
+            lig_only = lig_d._replace(heavy_mask=lig_heavy)
+            inter_lig = efn.eval_inter(lig_only, rec_d, conf, big, 0.0, v[1])
             intra = efn.eval_intra(lig_d, conf, v[0])
-            return inter, intra
+            other_all = efn.eval_other(lig_d, conf, v[2])
+            ffl = lig_d._replace(opair_mask=lig_d.opair_mask & ff_mask)
+            other_ff = efn.eval_other(ffl, conf, v[2])
+            affinity_arg = inter_lig + (other_all - other_ff)
+            intramol = intra + (inter_all - inter_lig) + other_ff
+            return affinity_arg, intramol
 
         inter, intra = program(lig_d, rec_d, conf)
         e = self._conf_independent(lig, float(inter))
