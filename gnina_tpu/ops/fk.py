@@ -21,33 +21,42 @@ def fk_node_frames(lig: LigandData, conf: Conf, max_layers: int):
     """Compute per-node (origin, quaternion) for a single conf.
 
     Returns origins (M,3), quats (M,4).
+
+    Frames are packed into one (M,7) array so each layer does a single
+    gather + a single masked update — per-op fixed cost dominates this
+    computation on TPU, so op count matters more than FLOPs here.
     """
     m = lig.parent.shape[0]
-    origins0 = jnp.zeros((m, 3), jnp.float32).at[0].set(conf.position)
-    quats0 = jnp.tile(Q.QT_IDENTITY, (m, 1)).at[0].set(conf.orientation)
+    frames = jnp.concatenate([
+        jnp.zeros((m, 3), jnp.float32).at[0].set(conf.position),
+        jnp.tile(Q.QT_IDENTITY, (m, 1)).at[0].set(conf.orientation),
+    ], axis=1)
 
     # torsion for node i (i>=1) is torsions[i-1]
     torsions = jnp.concatenate([jnp.zeros((1,), jnp.float32), conf.torsions])
+    half = 0.5 * Q.normalize_angle(torsions)
+    cos_h = jnp.cos(half)[:, None]
+    sin_h = jnp.sin(half)[:, None]
 
-    # statically unrolled over layers (max_layers is small): avoids scan
-    # overhead and lets XLA fuse the whole FK into a handful of kernels.
     # parent == -1 means the virtual identity frame (flex-residue
-    # first_segments, tree.h:266-291): origin 0, identity orientation.
+    # first_segments, tree.h:266-291): origin 0, identity orientation
     parentc = jnp.maximum(lig.parent, 0)
+    identity_frame = jnp.concatenate(
+        [jnp.zeros((m, 3)), jnp.broadcast_to(Q.QT_IDENTITY, (m, 4))], axis=1)
     is_root_child = (lig.parent < 0)[:, None]
-    origins, quats = origins0, quats0
-    identity_q = jnp.broadcast_to(Q.QT_IDENTITY, quats0.shape)
+
     for l in range(1, max_layers + 1):
-        p_origin = jnp.where(is_root_child, 0.0, origins[parentc])
-        p_quat = jnp.where(is_root_child, identity_q, quats[parentc])
+        p = jnp.where(is_root_child, identity_frame, frames[parentc])
+        p_origin, p_quat = p[:, :3], p[:, 3:]
         new_origin = p_origin + Q.qrotate(p_quat, lig.rel_origin)
         axis = Q.qrotate(p_quat, lig.rel_axis)
-        new_quat = Q.qnormalize_approx(
-            Q.qmul(Q.axis_angle_to_quaternion(axis, torsions), p_quat))
+        # angle_to_quaternion(axis, torsion) with axis unit-length
+        tq = jnp.concatenate([cos_h, sin_h * axis], axis=1)
+        new_quat = Q.qnormalize_approx(Q.qmul(tq, p_quat))
         upd = (lig.layer == l)[:, None]
-        origins = jnp.where(upd, new_origin, origins)
-        quats = jnp.where(upd, new_quat, quats)
-    return origins, quats
+        frames = jnp.where(upd, jnp.concatenate([new_origin, new_quat], axis=1),
+                           frames)
+    return frames[:, :3], frames[:, 3:]
 
 
 def fk_coords(lig: LigandData, conf: Conf, max_layers: int):
