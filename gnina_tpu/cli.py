@@ -145,12 +145,15 @@ class Tee:
 def main(argv: Optional[List[str]] = None) -> int:
     parser = build_parser()
     argv = list(sys.argv[1:] if argv is None else argv)
-    args, _unknown = parser.parse_known_args(argv)
+    args, unknown = parser.parse_known_args(argv)
     if args.config:
         argv = parse_config_file(args.config, parser, argv)
-        args, _unknown = parser.parse_known_args(argv)
+        args, unknown = parser.parse_known_args(argv)
 
     log = Tee(args.log, args.quiet)
+    if unknown:
+        log.write(f"ERROR: unrecognized option(s): {' '.join(unknown)}\n")
+        return 1
     t_start = time.time()
 
     if not args.receptor:
@@ -253,7 +256,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                            cnn_enabled, log, t_start)
 
     out_chunks: List[str] = []
+    n_ligs = 0
     for lig in load_all_ligands():
+        n_ligs += 1
         log.write(f"\n## {lig.name}\n")
         if args.score_only:
             r = engine.score_only(rec, lig)
@@ -307,6 +312,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                           f"{r.cnnscore:11.4f} {r.cnnaffinity:9.3f}\n")
         if args.out:
             out_chunks.append(write_poses_sdf(lig, results, cnn_enabled))
+    if n_ligs == 0:
+        log.write("ERROR: no ligands could be read from: "
+                  + " ".join(args.ligand) + "\n")
+        return 1
     if args.out:
         with open(args.out, "w") as f:
             f.write("".join(out_chunks))
@@ -330,6 +339,9 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
 
     batch_size = 8
     all_ligs = list(ligands)
+    if not all_ligs:
+        log.write("ERROR: no ligands could be read\n")
+        return 1
     order = {id(l): i for i, l in enumerate(all_ligs)}
     buckets = {}
     for lig in all_ligs:
