@@ -106,12 +106,25 @@ class Molecule:
         """Distance-based connectivity (for PDB/XYZ input).
 
         Two atoms bond if dist < r_cov(a) + r_cov(b) + tolerance; grid-hashed
-        so receptor-scale molecules stay O(N).
+        so receptor-scale molecules stay O(N).  Uses the native C++ kernel
+        (gnina_tpu/native) when available — receptor-scale proteins drop
+        from seconds to ~1 ms, keeping the host feeder ahead of the device.
         """
         self.bonds = []
         coords = self.coords()
         n = len(self.atoms)
         if n == 0:
+            return
+
+        from gnina_tpu.native import perceive_bonds_native
+
+        radii = np.array([el.covalent_radius(a.anum) for a in self.atoms],
+                         np.float32)
+        anums = np.array([a.anum for a in self.atoms], np.int32)
+        pairs = perceive_bonds_native(coords, radii, anums, tolerance)
+        if pairs is not None:
+            self.bonds = [Bond(int(a), int(b), 1) for a, b in pairs]
+            self.invalidate()
             return
         cell = 2.0 * max(el.COVALENT_RADIUS.values()) + tolerance
         grid = {}
