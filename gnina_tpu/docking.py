@@ -519,7 +519,11 @@ class DockingEngine:
                                                 max_layers)
 
         use_grid_search = grids is not None and not use_cnn_search
-        chunk = min(num_steps, int(self.settings.mc_chunk_steps) or num_steps)
+        # scale the per-program step chunk down as lane count grows: single
+        # device executions must stay well under the tunnel watchdog
+        lanes = max(len(ligs) * s.exhaustiveness, 1)
+        base_chunk = int(self.settings.mc_chunk_steps) or num_steps
+        chunk = min(num_steps, max(32, base_chunk * 64 // max(lanes, 64)))
         prog_key = (max_layers, chunk, miniters, s.exhaustiveness,
                     num_out, mode, has_cnn, use_grid_search)
         if cnn_obj is None and prog_key in self._programs:
@@ -554,8 +558,14 @@ class DockingEngine:
                              grids, box.lo, box.hi, ckeys)
             done += chunk
             ci += 1
-        confs, inters, intras, coords = finish_fn(
-            carry, lig_batch, rec_d, box.lo, box.hi)
+        merge_fn, stage_fn, rescore_fn = finish_fn
+        mconf, mdone, menergy = merge_fn(carry, lig_batch)
+        for stage_i in range(5):
+            mconf, mdone = stage_fn(mconf, mdone, lig_batch, rec_d,
+                                    box.lo, box.hi,
+                                    jnp.float32(10.0 ** (stage_i + 1)))
+        confs, inters, intras, coords = rescore_fn(
+            mconf, menergy, lig_batch, rec_d, box.lo, box.hi)
         inters = np.asarray(inters)     # (L, num_out)
         intras = np.asarray(intras)
         coords = np.asarray(coords)     # (L, num_out, N, 3)
@@ -681,21 +691,74 @@ class DockingEngine:
             return jax.vmap(one)(carry, lig_batch, dof_masks, num_tors_b, keys)
 
         @jax.jit
-        def finish_fn(carry, lig_batch, rec_d, lo, hi):
-            box = Box(lo=lo, hi=hi)
-
+        def merge_fn(carry, lig_batch):
             def one(carry_l, lig_d):
                 merged = mc.merge_containers(carry_l.cont, lig_d.heavy_mask,
                                              min_rmsd=2.0, out_slots=num_out)
+                conf = Conf(position=merged.position,
+                            orientation=merged.orientation,
+                            torsions=merged.torsions)
+                done = jnp.zeros((num_out,), bool)
+                return conf, done, merged.energy
 
-                # batched refinement of saved poses (main.cpp:322-344)
-                def refine_one(pos, quat, tors, e_in):
+            return jax.vmap(one)(carry, lig_batch)
+
+        def _within(lig_d, conf, box):
+            coords = fk.fk_coords(lig_d, conf, max_layers)
+            margin = 0.0001
+            ok = jnp.logical_and(coords >= box.lo - margin,
+                                 coords <= box.hi + margin)
+            ok = jnp.logical_or(ok, ~lig_d.heavy_mask[:, None])
+            return jnp.all(ok)
+
+        @jax.jit
+        def stage_fn(mconf, mdone, lig_batch, rec_d, lo, hi, slope_i):
+            """One slope-escalation stage of refine_structure
+            (main.cpp:144-158) over all ligands x saved poses."""
+            box = Box(lo=lo, hi=hi)
+
+            def one(conf_l, done_l, lig_d):
+                def refine_pose(pos, quat, tors, done):
                     conf = Conf(position=pos, orientation=quat, torsions=tors)
                     if use_cnn_refine:
-                        conf = self._cnn_refine(cnn_obj, lig_d, conf, box,
-                                                minpar, max_layers)
+                        center = jax.lax.stop_gradient(
+                            cnn_obj["center_of"](conf))
+
+                        def f(c):
+                            return cnn_obj["deriv"](c, center, slope_i)
+
+                        def fv(c):
+                            return cnn_obj["value"](c, center, slope_i)
                     else:
-                        conf, _ = refine(lig_d, rec_d, conf, box)
+                        def f(c):
+                            return efn.eval_deriv(lig_d, rec_d, c, box,
+                                                  slope_i, cap)
+
+                        def fv(c):
+                            return efn.eval_energy(lig_d, rec_d, c, box,
+                                                   slope_i, cap)
+
+                    res = bfgs(f, conf, minpar, f_val=fv)
+                    new_done = _within(lig_d, res.x, box)
+                    out = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(done, old, new), res.x,
+                        conf)
+                    return out, jnp.logical_or(done, new_done)
+
+                conf2, done2 = jax.vmap(refine_pose)(
+                    conf_l.position, conf_l.orientation, conf_l.torsions,
+                    done_l)
+                return conf2, done2
+
+            return jax.vmap(one)(mconf, mdone, lig_batch)
+
+        @jax.jit
+        def rescore_fn(mconf, menergy, lig_batch, rec_d, lo, hi):
+            box = Box(lo=lo, hi=hi)
+
+            def one(conf_l, energy_l, lig_d):
+                def score_pose(pos, quat, tors, e_in):
+                    conf = Conf(position=pos, orientation=quat, torsions=tors)
                     # exact rescore (always the empirical affinity, even in
                     # CNN modes — main.cpp:336-343)
                     intra = efn.eval_intra(lig_d, conf, cap[0])
@@ -706,13 +769,14 @@ class DockingEngine:
                     return (conf, jnp.where(valid, inter, MAX_FL), intra,
                             coords)
 
-                return jax.vmap(refine_one)(
-                    merged.position, merged.orientation, merged.torsions,
-                    merged.energy)
+                return jax.vmap(score_pose)(
+                    conf_l.position, conf_l.orientation, conf_l.torsions,
+                    energy_l)
 
-            return jax.vmap(one)(carry, lig_batch)
+            return jax.vmap(one)(mconf, menergy, lig_batch)
 
-        return init_fn, chunk_fn, finish_fn
+        finish_fns = (merge_fn, stage_fn, rescore_fn)
+        return init_fn, chunk_fn, finish_fns
 
     def _cnn_refine(self, cnn_obj, lig_d: LigandData, conf: Conf, box: Box,
                     minpar: MinimizeParams, max_layers: int) -> Conf:
