@@ -326,6 +326,189 @@ def extract_flex_residue(rec: Receptor, key: Tuple[str, int, str]
         inflex_types=rec.types[inflex].astype(np.int32),
         inflex_charges=rec.charges[inflex].astype(np.float32),
         pairs=np.array(pairs, np.int32).reshape(-1, 2),
+        atoms_mol=_flex_atoms_mol(rec.mol, new_order + inflex, key, resname),
+    )
+
+
+def _flex_atoms_mol(mol: Molecule, idxs, key, resname) -> Molecule:
+    """Atom metadata (names/residue ids) for --out_flex writing: movable
+    atoms in node order, then inflex anchors."""
+    import copy as _copy
+
+    out = Molecule(name=f"{resname}_{key[0]}{key[1]}{key[2]}")
+    out.atoms = [_copy.copy(mol.atoms[i]) for i in idxs]
+    return out
+
+
+def flex_from_pdbqt(text: str, rec: Optional[Receptor] = None
+                    ) -> List[FlexResidue]:
+    """Parse a user-supplied flex PDBQT (-flex) into FlexResidues.
+
+    reference: parse_pdbqt.cpp parse_pdbqt_flex/parse_pdbqt_residue +
+    postprocess_residue (parse_pdbqt.cpp:393-420): per BEGIN_RES block the
+    ROOT atoms become static inflex anchors, and every BRANCH off a root
+    atom becomes a first_segment rotating about (root atom -> branch
+    anchor); nested BRANCHes become child segments.
+    """
+    from gnina_tpu.chem.pdbqt import parse_pdbqt_ligand
+
+    residues: List[FlexResidue] = []
+    lines = text.splitlines()
+    block: List[str] = []
+    header = None
+    for line in lines:
+        if line.startswith("BEGIN_RES"):
+            header = line.split()
+            block = []
+        elif line.startswith("END_RES"):
+            if header is not None:
+                fr = _flex_residue_from_block("\n".join(block), header)
+                if fr is not None:
+                    residues.append(fr)
+            header = None
+        elif header is not None:
+            block.append(line)
+    return residues
+
+
+def _flex_residue_from_block(block: str, header: List[str]
+                             ) -> Optional[FlexResidue]:
+    from gnina_tpu.chem.pdbqt import PdbqtBranch, parse_pdbqt_ligand
+
+    resname = header[1] if len(header) > 1 else "UNK"
+    chain = header[2] if len(header) > 2 else ""
+    try:
+        resnum = int(header[3]) if len(header) > 3 else 0
+    except ValueError:
+        resnum = 0
+    key = (chain, resnum, "")
+
+    lig = parse_pdbqt_ligand(block, name=resname)
+    mol = lig.mol
+    if not lig.branches or not lig.root_atoms:
+        return None
+    mol.perceive_all()
+    types_all = mol.assign_smina_types()
+    coords_all = mol.coords()
+    charges_all = np.array([a.charge for a in mol.atoms], np.float32)
+
+    # collect nodes: BFS over branches; each top-level branch off a root
+    # atom is a first_segment
+    nodes: List[Tuple[PdbqtBranch, int]] = []   # (branch, parent_node)
+
+    def walk(br: PdbqtBranch, parent_node: int):
+        nodes.append((br, parent_node))
+        my_node = len(nodes) - 1
+        for c in br.children:
+            walk(c, my_node)
+
+    for br in lig.branches:
+        walk(br, -1)
+
+    new_order: List[int] = []
+    node_of: List[int] = []
+    for ni, (br, _pn) in enumerate(nodes):
+        atoms = list(br.atoms)
+        if br.my_serial in atoms:
+            atoms.remove(br.my_serial)
+            atoms.insert(0, br.my_serial)
+        for a in atoms:
+            new_order.append(a)
+            node_of.append(ni)
+    remap = {g: l for l, g in enumerate(new_order)}
+
+    mf = len(nodes)
+    parent = np.full(mf, -1, np.int32)
+    rel_axis = np.zeros((mf, 3), np.float32)
+    rel_origin = np.zeros((mf, 3), np.float32)
+    layer = np.zeros(mf, np.int32)
+    anchor_local = np.full(mf, -1, np.int32)
+    node_origin = np.zeros((mf, 3), np.float32)
+
+    for ni, (br, pn) in enumerate(nodes):
+        origin = coords_all[br.my_serial]
+        node_origin[ni] = origin
+        axis = origin - coords_all[br.parent_serial]
+        nrm = np.linalg.norm(axis)
+        if nrm < 1e-6:
+            return None
+        if pn < 0:
+            parent[ni] = -1
+            layer[ni] = 1
+            rel_axis[ni] = axis / nrm
+            rel_origin[ni] = origin
+            anchor_local[ni] = -1
+        else:
+            parent[ni] = pn
+            layer[ni] = layer[pn] + 1
+            rel_axis[ni] = axis / nrm
+            rel_origin[ni] = origin - node_origin[pn]
+            anchor_local[ni] = remap.get(br.parent_serial, -1)
+
+    inflex = list(lig.root_atoms)
+    coords = coords_all[new_order]
+    f_n = len(new_order)
+
+    # pairs with the same exclusion rules as extract_flex_residue
+    adj = mol.adjacency()
+    glob_all = new_order + inflex
+    within3: List[Set[int]] = []
+    for gi in glob_all:
+        seen = {gi}
+        frontier = [gi]
+        for _ in range(3):
+            nxt = []
+            for u in frontier:
+                for v, _b in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        nxt.append(v)
+            frontier = nxt
+        within3.append(seen)
+    hyd = IS_HYDROGEN[types_all]
+    pairs = []
+    for li in range(len(glob_all)):
+        gi = glob_all[li]
+        if hyd[gi]:
+            continue
+        for lj in range(li + 1, len(glob_all)):
+            gj = glob_all[lj]
+            if hyd[gj]:
+                continue
+            if li >= f_n and lj >= f_n:
+                continue
+            ni = node_of[li] if li < f_n else -1
+            nj = node_of[lj] if lj < f_n else -1
+            if ni == nj and ni >= 0:
+                continue
+            if nj >= 0 and anchor_local[nj] == li:
+                continue
+            if ni >= 0 and anchor_local[ni] == lj:
+                continue
+            # root-segment anchor atom (in inflex) is on the axis
+            if ni >= 0 and parent[ni] == -1 and lj >= f_n \
+                    and glob_all[lj] == nodes[ni][0].parent_serial:
+                continue
+            if nj >= 0 and parent[nj] == -1 and li >= f_n \
+                    and glob_all[li] == nodes[nj][0].parent_serial:
+                continue
+            if gj in within3[li]:
+                continue
+            pairs.append((li, lj))
+
+    return FlexResidue(
+        key=key, resname=resname,
+        coords=coords.astype(np.float32),
+        types=types_all[new_order].astype(np.int32),
+        charges=charges_all[new_order].astype(np.float32),
+        node_of_atom=np.array(node_of, np.int32),
+        parent=parent, rel_axis=rel_axis, rel_origin=rel_origin,
+        layer=layer, parent_anchor_local=anchor_local,
+        inflex_coords=coords_all[inflex].astype(np.float32),
+        inflex_types=types_all[inflex].astype(np.int32),
+        inflex_charges=charges_all[inflex].astype(np.float32),
+        pairs=np.array(pairs, np.int32).reshape(-1, 2),
+        atoms_mol=_flex_atoms_mol(mol, new_order + inflex, key, resname),
     )
 
 

@@ -119,6 +119,29 @@ def iter_ligands(path: str, table: AtomTypeTable = DEFAULT_TABLE,
         raise ValueError(f"unsupported ligand format: {ext}")
 
 
+def iter_molecules(path: str) -> Iterator[Molecule]:
+    """Stream raw Molecules (no tree building) — covalent docking needs the
+    unmodified molecule for SMARTS matching before the complex is built."""
+    text = _read_text(path)
+    base = path[:-3] if path.endswith(".gz") else path
+    ext = os.path.splitext(base)[1].lower()
+    if ext in (".sdf", ".mol"):
+        for i, mol in enumerate(sdf.iter_sdf(text, is_text=True)):
+            if not mol.name:
+                mol.name = f"{os.path.basename(base)}_{i}"
+            yield mol
+    elif ext == ".pdbqt":
+        for i, mtext in enumerate(_split_models(text)):
+            yield pdbqt.parse_pdbqt_ligand(
+                mtext, name=f"{os.path.basename(base)}_{i}").mol
+    elif ext == ".pdb":
+        yield pdb.parse_pdb(text, name=os.path.basename(base))
+    elif ext == ".xyz":
+        yield parse_xyz(text, os.path.basename(base))
+    else:
+        raise ValueError(f"unsupported ligand format: {ext}")
+
+
 def _split_models(text: str) -> List[str]:
     if "MODEL" not in text:
         return [text]

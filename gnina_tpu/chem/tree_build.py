@@ -65,6 +65,9 @@ class LigandStruct:
     num_movable_atoms: int = -1        # -1 -> all atoms movable
     other_pairs: np.ndarray = None     # (Q,2) pairs evaluated at v[2]
     flex_meta: list = None             # [(key, resname, start, end), ...]
+    # covalent complexes have no rigid-body DOF: position/orientation are
+    # frozen and mutations draw torsions only (chem/covalent.py)
+    has_rigid_dof: bool = True
 
     @property
     def num_atoms(self) -> int:
@@ -346,6 +349,28 @@ def _assemble(mol: Molecule, table: AtomTypeTable, frags, order, parent_frag,
     )
 
 
+def empty_ligand_struct(name: str = "no_lig") -> LigandStruct:
+    """A zero-atom ligand for --no_lig runs (main.cpp no-ligand branch):
+    flex residues attach to it and carry every DOF."""
+    return LigandStruct(
+        name=name,
+        local_coords=np.zeros((0, 3), np.float32),
+        orig_coords=np.zeros((0, 3), np.float32),
+        types=np.zeros(0, np.int32),
+        charges=np.zeros(0, np.float32),
+        node_id=np.zeros(0, np.int32),
+        parent=np.array([-1], np.int32),
+        rel_axis=np.array([[1.0, 0, 0]], np.float32),
+        rel_origin=np.zeros((1, 3), np.float32),
+        layer=np.zeros(1, np.int32),
+        parent_anchor=np.array([-1], np.int32),
+        pairs=np.zeros((0, 2), np.int32),
+        num_tors=0.0, num_heavy_atoms=0, num_hydrophobic_atoms=0,
+        ligand_length=0.0, torsdof=0, mol=Molecule(name=name),
+        has_rigid_dof=False,
+    )
+
+
 def attach_flex(lig: LigandStruct, flexres: Sequence) -> LigandStruct:
     """Append flexible side chains to a ligand's DOF/atom arrays.
 
@@ -397,7 +422,7 @@ def attach_flex(lig: LigandStruct, flexres: Sequence) -> LigandStruct:
         groups.append((atom_off, atom_off + f_n))
         res_pairs.append((fr.pairs, atom_off, f_n))
         inflex_blocks.append(fr)
-        flex_meta.append((fr.key, fr.resname, atom_off, atom_off + f_n))
+        flex_meta.append((fr.key, fr.resname, atom_off, atom_off + f_n, fr))
         atom_off += f_n
         node_off += len(fr.parent)
 

@@ -52,13 +52,34 @@ def build_parser() -> argparse.ArgumentParser:
     gbox.add_argument("--autobox_add", type=float, default=4.0)
     gbox.add_argument("--autobox_extend", type=int, default=1)
 
+    gcov = p.add_argument_group("Covalent docking")
+    gcov.add_argument("--covalent_rec_atom", default="",
+                      help="receptor atom (chain:resnum[icode]:[resname:]"
+                           "atomname or x,y,z) to bond the ligand to")
+    gcov.add_argument("--covalent_lig_atom_pattern", default="",
+                      help="SMARTS pattern; first matched atom bonds to the "
+                           "receptor atom")
+    gcov.add_argument("--covalent_lig_atom_position", default="",
+                      help="x,y,z position for the ligand attachment atom")
+    gcov.add_argument("--covalent_fix_lig_atom_position", action="store_true")
+    gcov.add_argument("--covalent_bond_order", type=int, default=1)
+    gcov.add_argument("--covalent_optimize_lig", action="store_true",
+                      help="relieve clashes of the placed ligand (approx of "
+                           "the reference's UFF pass)")
+
     gout = p.add_argument_group("Output")
     gout.add_argument("-o", "--out", help="output file (SDF)")
     gout.add_argument("--out_flex", help="output file for flexible residue poses (PDB)")
     gout.add_argument("--atom_terms", type=int, default=0,
                       help="print per-term values in score_only")
+    gout.add_argument("--atom_term_data", action="store_true",
+                      help="embed per-atom interaction terms in the output")
+    gout.add_argument("--full_flex_output", action="store_true",
+                      help="(compat) write whole flex residues in out_flex")
     gout.add_argument("--log", help="log file")
     gout.add_argument("-q", "--quiet", action="store_true")
+    gout.add_argument("--verbosity", type=int, default=1,
+                      help="0=quiet, 1=normal, 2+=debug timing detail")
 
     gsc = p.add_argument_group("Scoring and minimization")
     gsc.add_argument("--scoring", default="default",
@@ -87,6 +108,9 @@ def build_parser() -> argparse.ArgumentParser:
     gcnn.add_argument("--cnn_verbose", action="store_true")
 
     gmisc = p.add_argument_group("Misc")
+    gmisc.add_argument("--no_lig", action="store_true",
+                       help="no ligand; score/minimize flex residues only")
+    gmisc.add_argument("--custom_atoms", help="custom atom parameter file")
     gmisc.add_argument("--cpu", type=int, default=0, help="(compat; ignored)")
     gmisc.add_argument("--seed", type=int, default=0)
     gmisc.add_argument("--exhaustiveness", type=int, default=8)
@@ -150,7 +174,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         argv = parse_config_file(args.config, parser, argv)
         args, unknown = parser.parse_known_args(argv)
 
-    log = Tee(args.log, args.quiet)
+    log = Tee(args.log, args.quiet or args.verbosity <= 0)
     if unknown:
         log.write(f"ERROR: unrecognized option(s): {' '.join(unknown)}\n")
         return 1
@@ -159,12 +183,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not args.receptor:
         log.write("ERROR: receptor (-r) required\n")
         return 1
-    if not args.ligand:
-        log.write("ERROR: ligand (-l) required\n")
+    if not args.ligand and not args.no_lig:
+        log.write("ERROR: ligand (-l) required (or --no_lig)\n")
         return 1
-    if args.flex:
-        log.write("WARNING: -flex PDBQT input not yet supported; use "
-                  "--flexres/--flexdist\n")
+    if args.no_lig and args.cnn_scoring != "none":
+        args.cnn_scoring = "none"
 
     settings = DockSettings(
         scoring=args.scoring if args.scoring != "default" else "vina",
@@ -188,6 +211,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     sf = None
     if args.custom_scoring:
         sf = scoring_function_from_file(args.custom_scoring)
+    if args.custom_atoms:
+        # runtime atom-parameter table (main.cpp:546-600); overrides the
+        # scoring function's own table (as the reference's global swap does)
+        import dataclasses as _dc
+
+        from gnina_tpu.constants import table_from_custom_atoms
+
+        base_sf = sf if sf is not None else get_scoring_function(
+            args.scoring if args.scoring != "default" else "vina")
+        tbl = table_from_custom_atoms(
+            args.custom_atoms, base_sf.table,
+            warn=lambda m: log.write(m + "\n"))
+        sf = _dc.replace(base_sf, table=tbl)
 
     cnn = None
     if args.cnn_scoring != "none":
@@ -204,8 +240,36 @@ def main(argv: Optional[List[str]] = None) -> int:
     engine = DockingEngine(settings, sf=sf, cnn_scorer=cnn)
     rec = ingest.Receptor.from_file(args.receptor)
 
+    # covalent docking context (reference: covinfo.cpp, molgetter.cpp:105+)
+    cov_ctx = None
+    if args.covalent_rec_atom:
+        from gnina_tpu.chem import covalent as cov_mod
+
+        cinfo = cov_mod.CovInfo(cov_mod.CovOptions(
+            covalent_rec_atom=args.covalent_rec_atom,
+            covalent_lig_atom_pattern=args.covalent_lig_atom_pattern,
+            covalent_lig_atom_position=args.covalent_lig_atom_position,
+            covalent_fix_lig_atom_position=args.covalent_fix_lig_atom_position,
+            covalent_bond_order=args.covalent_bond_order,
+            covalent_optimize_lig=args.covalent_optimize_lig,
+            dont_move_ligand=bool(args.score_only or args.minimize
+                                  or args.local_only),
+        ), log=lambda m: log.write(m + "\n"))
+        rec, covres, cov_ratom = cov_mod.extract_covres(rec, cinfo)
+        cov_ctx = (cov_mod, cinfo, covres, cov_ratom)
+        log.write(f"Covalent receptor atom: {cinfo.rec_atom_string()}\n")
+
     # flexible residue selection (reference: flexinfo.cpp)
     flex_residues = []
+    if args.flex:
+        # user-supplied flex PDBQT (parse_pdbqt.h:28-32, molgetter.cpp:52+)
+        from gnina_tpu.chem import flexinfo
+
+        with open(args.flex) as f:
+            flex_residues.extend(flexinfo.flex_from_pdbqt(f.read()))
+        if not flex_residues:
+            log.write(f"WARNING: no flexible residues parsed from "
+                      f"{args.flex}\n")
     if args.flexres or (args.flexdist > 0 and args.flexdist_ligand):
         from gnina_tpu.chem import flexinfo
 
@@ -217,13 +281,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             rec, flexres=args.flexres, flexdist=args.flexdist,
             flexdist_coords=flexdist_coords, flex_limit=args.flex_limit,
             flex_max=args.flex_max)
-        flex_residues = [f for f in (flexinfo.extract_flex_residue(rec, k)
-                                     for k in keys) if f is not None]
-        if flex_residues:
-            log.write(f"Flexible residues: " + " ".join(
-                f"{f.key[0]}:{f.key[1]}{f.key[2]}" for f in flex_residues)
-                + "\n")
-            rec = flexinfo.strip_flex_from_receptor(rec, flex_residues)
+        selected = [f for f in (flexinfo.extract_flex_residue(rec, k)
+                                for k in keys) if f is not None]
+        if selected:
+            rec = flexinfo.strip_flex_from_receptor(rec, selected)
+            flex_residues.extend(selected)
+    if flex_residues:
+        log.write("Flexible residues: " + " ".join(
+            f"{f.key[0]}:{f.key[1]}{f.key[2]}" for f in flex_residues)
+            + "\n")
 
     # search box
     center = size = None
@@ -238,7 +304,31 @@ def main(argv: Optional[List[str]] = None) -> int:
     cnn_enabled = cnn is not None
 
     def load_all_ligands():
+        if args.no_lig:
+            from gnina_tpu.chem.tree_build import attach_flex, \
+                empty_ligand_struct
+
+            if not flex_residues:
+                log.write("ERROR: --no_lig requires flexible residues\n")
+                return
+            yield attach_flex(empty_ligand_struct(), flex_residues)
+            return
         for ligpath in args.ligand:
+            if cov_ctx is not None:
+                cov_mod, cinfo, covres, cov_ratom = cov_ctx
+                for mol in ingest.iter_molecules(ligpath):
+                    complexes = cov_mod.covalent_complexes_for_mol(
+                        covres, cov_ratom, mol, cinfo,
+                        rec_coords=rec.coords)
+                    if not complexes:
+                        log.write(f"WARNING: Ligand {mol.name} did not "
+                                  "match covalent_lig_atom_pattern. "
+                                  "Skipping\n")
+                    for li, lig in enumerate(complexes):
+                        if len(complexes) > 1:
+                            lig.name = f"{lig.name}_match{li}"
+                        yield lig
+                continue
             for lig in ingest.iter_ligands(ligpath):
                 if flex_residues:
                     from gnina_tpu.chem.tree_build import attach_flex
@@ -256,6 +346,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                            cnn_enabled, log, t_start)
 
     out_chunks: List[str] = []
+    out_flex_chunks: List[str] = []
     n_ligs = 0
     for lig in load_all_ligands():
         n_ligs += 1
@@ -312,6 +403,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                           f"{r.cnnscore:11.4f} {r.cnnaffinity:9.3f}\n")
         if args.out:
             out_chunks.append(write_poses_sdf(lig, results, cnn_enabled))
+        if args.out_flex and lig.flex_meta:
+            from gnina_tpu.output import write_flex_pdb
+
+            out_flex_chunks.append(write_flex_pdb(lig, results))
     if n_ligs == 0:
         log.write("ERROR: no ligands could be read from: "
                   + " ".join(args.ligand) + "\n")
@@ -319,17 +414,37 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.out:
         with open(args.out, "w") as f:
             f.write("".join(out_chunks))
+    if args.out_flex:
+        with open(args.out_flex, "w") as f:
+            f.write("".join(out_flex_chunks))
 
     log.write(f"\nLoop time {time.time() - t_start:.2f}\n")
     log.close()
     return 0
 
 
+def _screen_mesh(log, verbosity: int):
+    """Multi-device ligand sharding for virtual screens: the ligand batch
+    axis maps onto a 1-D "dp" mesh over all visible devices (SURVEY.md
+    section 2: pjit-sharded ligand batches over ICI)."""
+    import jax
+
+    if len(jax.devices()) <= 1:
+        return None
+    from gnina_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(tp=1)
+    if verbosity > 1:
+        log.write(f"Sharding ligand batches over {mesh.shape['dp']} "
+                  "devices\n")
+    return mesh
+
+
 def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
                 log, t_start) -> int:
     """Batched virtual screen: bucket ligands by padded shape, dock each
     bucket with one compiled program, write results in input order."""
-    from gnina_tpu.output import write_poses_sdf
+    from gnina_tpu.output import write_flex_pdb, write_poses_sdf
 
     def bucket_key(lig):
         def up(x, m):
@@ -337,11 +452,13 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
 
         return (up(lig.num_atoms, 8), up(lig.num_nodes, 4))
 
-    batch_size = 8
     all_ligs = list(ligands)
     if not all_ligs:
         log.write("ERROR: no ligands could be read\n")
         return 1
+    mesh = _screen_mesh(log, args.verbosity)
+    n_dev = mesh.shape["dp"] if mesh is not None else 1
+    batch_size = max(8, 8 * n_dev)
     order = {id(l): i for i, l in enumerate(all_ligs)}
     buckets = {}
     for lig in all_ligs:
@@ -357,16 +474,28 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
                 box_size = np.maximum(box_size, span)
             try:
                 res_b = engine.dock_batch(rec, chunk, center, box_size,
-                                          seed=args.seed)
+                                          seed=args.seed, mesh=mesh)
             except Exception as e:
-                # per-batch isolation (the reference isolates per ligand,
-                # main.cpp:406-409)
-                log.write(f"ERROR processing batch: {e}\n")
-                res_b = [[] for _ in chunk]
+                # the whole batch failed: retry ligand-by-ligand so one
+                # poisoned molecule costs only itself (the reference
+                # isolates per ligand, main.cpp:406-409)
+                log.write(f"WARNING: batch failed ({e}); retrying "
+                          "per-ligand\n")
+                res_b = []
+                for lone in chunk:
+                    try:
+                        res_b.append(engine.dock_batch(
+                            rec, [lone], center, box_size,
+                            seed=args.seed)[0])
+                    except Exception as e1:
+                        log.write(f"ERROR processing ligand {lone.name}: "
+                                  f"{e1}\n")
+                        res_b.append([])
             for lig, res in zip(chunk, res_b):
                 results_by_idx[order[id(lig)]] = (lig, res)
 
     out_chunks = []
+    out_flex_chunks = []
     for i in range(len(all_ligs)):
         lig, results = results_by_idx[i]
         log.write(f"\n## {lig.name}\n")
@@ -378,9 +507,14 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
                       f"{r.cnnscore:11.4f} {r.cnnaffinity:9.3f}\n")
         if args.out:
             out_chunks.append(write_poses_sdf(lig, results, cnn_enabled))
+        if args.out_flex and lig.flex_meta:
+            out_flex_chunks.append(write_flex_pdb(lig, results))
     if args.out:
         with open(args.out, "w") as f:
             f.write("".join(out_chunks))
+    if args.out_flex:
+        with open(args.out_flex, "w") as f:
+            f.write("".join(out_flex_chunks))
     log.write(f"\nLoop time {time.time() - t_start:.2f}\n")
     log.close()
     return 0

@@ -191,6 +191,45 @@ def string_to_smina_type(name: str):
     return _NAME_TO_TYPE.get(name)
 
 
+def table_from_custom_atoms(path: str, base: AtomTypeTable = DEFAULT_TABLE,
+                            warn=print) -> AtomTypeTable:
+    """--custom_atoms runtime atom-parameter table
+    (reference: main.cpp setup_atomconstants_from_file :546-600).
+
+    Each non-comment line: name ad_radius ad_depth ad_solvation ad_volume
+    covalent_radius xs_radius xs_hydrophobe xs_donor xs_acceptor
+    ad_heteroatom."""
+    name_to = {n: i for i, n in enumerate(base.smina_names)}
+    float_fields = ("ad_radius", "ad_depth", "ad_solvation", "ad_volume",
+                    "covalent_radius", "xs_radius")
+    bool_fields = ("xs_hydrophobe", "xs_donor", "xs_acceptor",
+                   "ad_heteroatom")
+    arrays = {f: np.array(getattr(base, f), copy=True)
+              for f in float_fields + bool_fields}
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            toks = line.split()
+            name = toks[0]
+            if name not in name_to:
+                warn(f"Line {lineno}: omitting atom type name {name}")
+                continue
+            if len(toks) < 11:
+                raise ValueError(
+                    f"Error at line {lineno} of the atom constants file: "
+                    f"expected 10 fields after the name, got {len(toks) - 1}")
+            i = name_to[name]
+            for k, fld in enumerate(float_fields):
+                arrays[fld][i] = float(toks[1 + k])
+            for k, fld in enumerate(bool_fields):
+                arrays[fld][i] = bool(int(float(toks[7 + k])))
+    import dataclasses as _dc
+
+    return _dc.replace(base, **arrays)
+
+
 def smina_type_to_element_name(t: SminaType) -> str:
     ad = DEFAULT_TABLE.ad_names[t]
     if ad == "A":

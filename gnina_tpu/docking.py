@@ -45,6 +45,8 @@ class DockSettings:
     seed: int = 0
     num_mc_steps: int = 0          # 0 -> heuristic
     max_mc_steps: int = 0
+    refine_stride: int = 4         # full-v refinement cadence (mc.MCParams)
+    fused_line_search: bool = True  # value+grad at all Armijo trials at once
     temperature: float = 1.2
     autobox_add: float = 4.0
     minimize_iters: int = 0        # 0 -> heuristic
@@ -237,7 +239,8 @@ class DockingEngine:
         t = lig.num_torsions
         tp = lig_d.num_torsion_slots
         conf0 = initial_conf(lig, tp)
-        dof_mask = jnp.arange(6 + tp) < 6 + t
+        dof_mask = (jnp.arange(6 + tp) < 6 + t) \
+            & (jnp.arange(6 + tp) >= (0 if lig.has_rigid_dof else 6))
         cap = jnp.full((3,), self.settings.forcecap, jnp.float32)
         iters = (self.settings.minimize_iters
                  if self.settings.minimize_iters > 0 else 10000)
@@ -365,7 +368,26 @@ class DockingEngine:
 
             return jax.value_and_grad(f)(jnp.zeros((6 + t,), jnp.float32))
 
-        return {"value": value, "deriv": deriv, "center_of": center_of}
+        def value_on_coords(coords, slope):
+            """CNN metropolis energy from precomputed lab coords (the MC
+            step already has them; center = heavy centroid per call, like
+            DLScorer::setCenter)."""
+            cnt = jnp.maximum(jnp.sum(lig_d.heavy_mask), 1)
+            center = jnp.sum(
+                jnp.where(lig_d.heavy_mask[:, None], coords, 0.0),
+                axis=0) / cnt
+
+            def oob(lo_, hi_):
+                adj = jnp.clip(coords, lo_, hi_)
+                d = jnp.sum(jnp.abs(coords - adj), axis=-1)
+                return jnp.sum(jnp.where(lig_d.heavy_mask, d, 0.0))
+
+            pen = slope * (oob(box.lo, box.hi)
+                           + oob(center - half_dim, center + half_dim))
+            return loss_fn(coords, lig_d.atom_mask, center) + pen
+
+        return {"value": value, "deriv": deriv, "center_of": center_of,
+                "value_on_coords": value_on_coords}
 
     # -- randomize only -------------------------------------------------------
 
@@ -413,7 +435,8 @@ class DockingEngine:
         return self.dock_batch(rec, [lig], center, size, seed=seed)[0]
 
     def dock_batch(self, rec: Receptor, ligs: List[LigandStruct], center,
-                   size, seed: Optional[int] = None) -> List[List[PoseResult]]:
+                   size, seed: Optional[int] = None,
+                   mesh=None) -> List[List[PoseResult]]:
         """Dock a batch of ligands against one receptor/box in ONE compiled
         program: (ligands x exhaustiveness) MC chains run as a single 2D
         batch on the accelerator.  This is the throughput path — the
@@ -422,9 +445,19 @@ class DockingEngine:
 
         All ligands share the MC step count (max of the per-ligand
         heuristics, main.cpp:449-456) so the batch stays rectangular.
+
+        mesh: optional jax.sharding.Mesh with a "dp" axis.  The ligand axis
+        of the batch is sharded over it (the docking inner loop needs no
+        collectives — the reference's thread-level parallel_mc.cpp:183-214
+        becomes pure SPMD data parallelism over ICI).  The batch is padded
+        to a multiple of the axis size; padded results are dropped.
         """
         s = self.settings
         assert ligs, "empty ligand batch"
+        n_real = len(ligs)
+        if mesh is not None:
+            dp = mesh.shape["dp"]
+            ligs = ligs + [ligs[-1]] * ((-len(ligs)) % dp)
 
         # common shape bucket
         n = _round_up(max(l.num_atoms for l in ligs), 8)
@@ -445,9 +478,12 @@ class DockingEngine:
         lig_batch = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *lig_ds)
         tp = m - 1
-        dof_masks = jnp.stack([jnp.arange(6 + tp) < 6 + l.num_torsions
-                               for l in ligs])
+        dof_masks = jnp.stack([
+            (jnp.arange(6 + tp) < 6 + l.num_torsions)
+            & (jnp.arange(6 + tp) >= (0 if l.has_rigid_dof else 6))
+            for l in ligs])
         num_tors_b = jnp.asarray([l.num_torsions for l in ligs], jnp.int32)
+        rigid_b = jnp.asarray([l.has_rigid_dof for l in ligs], bool)
 
         num_steps = max(_num_steps_heuristic(l, s) for l in ligs)
         miniters = max(_minimize_iters_heuristic(l, s) for l in ligs)
@@ -455,9 +491,11 @@ class DockingEngine:
         grids = None
         if s.search_grid:
             grids = self._populate_cache(ligs, rec_d, lo, hi)
-        return self._run_dock_program(
+        out = self._run_dock_program(
             rec, ligs, lig_batch, dof_masks, num_tors_b, rec_d, box,
-            max_layers, num_steps, miniters, seed, grids)
+            max_layers, num_steps, miniters, seed, grids, mesh=mesh,
+            rigid_b=rigid_b)
+        return out[:n_real]
 
     def _populate_cache(self, ligs, rec_d, lo, hi, num_slots: int = 16):
         """Build the per-type search grids for this receptor/box
@@ -485,10 +523,12 @@ class DockingEngine:
 
     def _run_dock_program(self, rec, ligs, lig_batch, dof_masks, num_tors_b,
                           rec_d, box, max_layers, num_steps, miniters,
-                          seed: Optional[int], grids=None
-                          ) -> List[List[PoseResult]]:
+                          seed: Optional[int], grids=None, mesh=None,
+                          rigid_b=None) -> List[List[PoseResult]]:
         s = self.settings
         num_out = max(s.num_modes, s.num_mc_saved)
+        if rigid_b is None:
+            rigid_b = jnp.ones((len(ligs),), bool)
 
         # CNN-in-the-loop modes (user_opts.h:24-31, main_procedure):
         #   refinement/metrorefine/all -> CNN loss refines poses
@@ -540,7 +580,6 @@ class DockingEngine:
         base = jax.random.PRNGKey(seed if seed is not None else s.seed)
         keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
             jnp.arange(len(ligs)))
-        carry = init_fn(lig_batch, box.lo, box.hi, keys)
         done = 0
         ci = 0
         if grids is None:
@@ -552,10 +591,25 @@ class DockingEngine:
                 type_gridded=jnp.zeros(28, bool),
                 origin=jnp.zeros(3, jnp.float32),
                 dims_minus_1=jnp.zeros(3, jnp.float32))
+        if mesh is not None:
+            # ligand axis over "dp"; receptor/grids replicated.  XLA
+            # propagates the shardings through the jitted vmapped programs —
+            # no collectives appear (each ligand-chain lane is independent).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dp_sh = NamedSharding(mesh, P("dp"))
+            rep_sh = NamedSharding(mesh, P())
+            lig_batch = jax.device_put(lig_batch, dp_sh)
+            dof_masks = jax.device_put(dof_masks, dp_sh)
+            num_tors_b = jax.device_put(num_tors_b, dp_sh)
+            rigid_b = jax.device_put(rigid_b, dp_sh)
+            keys = jax.device_put(keys, dp_sh)
+            rec_d = jax.device_put(rec_d, rep_sh)
+            grids = jax.device_put(grids, rep_sh)
+        carry = init_fn(lig_batch, box.lo, box.hi, keys)
         while done < num_steps:
             ckeys = jax.vmap(lambda kk: jax.random.fold_in(kk, 1000 + ci))(keys)
-            carry = chunk_fn(carry, lig_batch, dof_masks, num_tors_b, rec_d,
-                             grids, box.lo, box.hi, ckeys)
+            carry = chunk_fn(carry, lig_batch, dof_masks, num_tors_b, rigid_b,
+                             rec_d, grids, box.lo, box.hi, ckeys)
             done += chunk
             ci += 1
         merge_fn, stage_fn, rescore_fn = finish_fn
@@ -610,9 +664,11 @@ class DockingEngine:
         s = self.settings
         minpar = MinimizeParams(
             maxiters=miniters,
-            type="accurate" if s.accurate_line_search else "fast")
+            type="accurate" if s.accurate_line_search else "fast",
+            fused_trials=s.fused_line_search)
         mcpar = mc.MCParams(num_steps=chunk_steps, temperature=s.temperature,
-                            num_saved_mins=num_out, minparams=minpar)
+                            num_saved_mins=num_out, minparams=minpar,
+                            refine_stride=s.refine_stride)
         cap = jnp.full((3,), s.forcecap, jnp.float32)
         efn = make_energy_fn(self.sf, max_layers)
         refine = self._build_refine(efn, minpar, cap)
@@ -620,18 +676,23 @@ class DockingEngine:
         exhaustiveness = s.exhaustiveness
 
         def energy_fns_for(lig_d, rec_d, box, grids=None):
+            authentic_v1 = jnp.float32(1000.0)
             fns = {
                 "eval_deriv": lambda conf, v: efn.eval_deriv(
                     lig_d, rec_d, conf, box, slope, v),
-                "eval_inter": lambda conf, v1: efn.eval_inter(
-                    lig_d, rec_d, conf, box, slope, v1),
                 "eval_energy": lambda conf, v: efn.eval_energy(
                     lig_d, rec_d, conf, box, slope, v),
+                # metropolis/update energy = the search igrid's inter-only
+                # eval at authentic v (update_energy, monte_carlo.cpp:44-47;
+                # ig_metropolis == ig for standard docking,
+                # parallel_mc.cpp:161-162)
+                "metro_on_coords": lambda coords: efn.inter_on_coords(
+                    lig_d, rec_d, coords, box, slope, authentic_v1),
             }
             if use_grid_search and grids is not None:
                 # MC minimization on the precomputed grids (do_search passes
                 # the cache as the search igrid, main.cpp:504); metropolis
-                # and refinement stay on the analytic path (= non_cache)
+                # uses the same grids (cheap trilinear, no pair tensor)
                 def grid_total(conf, v):
                     coords = fk.fk_coords(lig_d, conf, max_layers)
                     e = cg.cache_inter_energy(
@@ -651,9 +712,12 @@ class DockingEngine:
 
                 fns["eval_deriv"] = grid_deriv
                 fns["eval_energy"] = grid_total
+                fns["metro_on_coords"] = lambda coords: cg.cache_inter_energy(
+                    grids, coords, lig_d.types, lig_d.charges,
+                    lig_d.heavy_mask, slope, authentic_v1)
             if use_cnn_metro:
-                fns["eval_inter"] = lambda conf, v1: cnn_obj["value"](
-                    conf, cnn_obj["center_of"](conf), slope)
+                fns["metro_on_coords"] = lambda coords: cnn_obj[
+                    "value_on_coords"](coords, slope)
             if use_cnn_search:
                 def _cnn_deriv(conf, v):
                     center = jax.lax.stop_gradient(cnn_obj["center_of"](conf))
@@ -672,23 +736,24 @@ class DockingEngine:
             def one(lig_d, key):
                 ks = jax.random.split(key, exhaustiveness)
                 return jax.vmap(lambda kk: mc.mc_init(
-                    kk, lig_d, mcpar, lo, hi))(ks)
+                    kk, lig_d, mcpar, lo, hi, max_layers))(ks)
 
             return jax.vmap(one)(lig_batch, keys)
 
         @jax.jit
-        def chunk_fn(carry, lig_batch, dof_masks, num_tors_b, rec_d, grids,
-                     lo, hi, keys):
+        def chunk_fn(carry, lig_batch, dof_masks, num_tors_b, rigid_b, rec_d,
+                     grids, lo, hi, keys):
             box = Box(lo=lo, hi=hi)
 
-            def one(carry_l, lig_d, dof_mask, ntors, key):
+            def one(carry_l, lig_d, dof_mask, ntors, rigid, key):
                 fns = energy_fns_for(lig_d, rec_d, box, grids)
                 ks = jax.random.split(key, exhaustiveness)
                 return jax.vmap(lambda c, kk: mc.mc_chunk(
                     c, kk, chunk_steps, lig_d, fns, mcpar, max_layers,
-                    dof_mask, ntors))(carry_l, ks)
+                    dof_mask, ntors, rigid))(carry_l, ks)
 
-            return jax.vmap(one)(carry, lig_batch, dof_masks, num_tors_b, keys)
+            return jax.vmap(one)(carry, lig_batch, dof_masks, num_tors_b,
+                                 rigid_b, keys)
 
         @jax.jit
         def merge_fn(carry, lig_batch):

@@ -36,6 +36,12 @@ class MinimizeParams:
     type: str = "fast"          # "fast" | "accurate"
     early_term: bool = False
     single_min: bool = False
+    # fused_trials: evaluate value AND gradient at all 10 Armijo trials in
+    # one batched call, so each BFGS iteration is ONE device program segment
+    # instead of two sequential ones (trial energies, then the gradient at
+    # the accepted point).  More FLOPs, half the sequential fusion depth —
+    # a win in the launch-bound regime these tiny per-pose tensors live in.
+    fused_trials: bool = True
 
 
 class LineSearchResult(NamedTuple):
@@ -165,6 +171,7 @@ def bfgs(f: Callable, x0: Conf, params: MinimizeParams,
 
     line_search = (accurate_line_search if params.type == "accurate"
                    else fast_line_search)
+    fused = params.fused_trials and params.type == "fast"
 
     class State(NamedTuple):
         step: jnp.ndarray
@@ -181,12 +188,30 @@ def bfgs(f: Callable, x0: Conf, params: MinimizeParams,
         p = -(s.h @ s.g)
         if dof_mask is not None:
             p = jnp.where(dof_mask, p, 0.0)
-        ls = line_search(f_val, s.x, s.g, s.f0, p)
-        alpha = ls.alpha
-        wrong_dir = alpha == 0.0
-
-        # gradient at the accepted point (forward trials skipped it)
-        f1g, g_new = f(ls.x_new)
+        if fused:
+            # one batched value-and-grad over all 10 Armijo trials
+            # (bfgs.h:73-91 evaluates gradient at every trial too)
+            c0 = 1e-4
+            pg = jnp.dot(p, s.g)
+            alphas = 0.5 ** jnp.arange(10, dtype=jnp.float32)
+            xs = jax.vmap(lambda a: conf_increment(s.x, p, a))(alphas)
+            f1s, gs = jax.vmap(f)(xs)
+            acc = (f1s - s.f0) < c0 * alphas * pg
+            any_ok = jnp.any(acc)
+            idx = jnp.where(any_ok, jnp.argmax(acc), 9)
+            alpha = jnp.where(any_ok, alphas[idx], jnp.float32(0.5 ** 10))
+            ls = LineSearchResult(
+                alpha=alpha,
+                x_new=jax.tree_util.tree_map(lambda a: a[idx], xs),
+                f1=f1s[idx])
+            g_new = gs[idx]
+            wrong_dir = jnp.asarray(False)
+        else:
+            ls = line_search(f_val, s.x, s.g, s.f0, p)
+            alpha = ls.alpha
+            wrong_dir = alpha == 0.0
+            # gradient at the accepted point (forward trials skipped it)
+            _f1g, g_new = f(ls.x_new)
         if dof_mask is not None:
             g_new = jnp.where(dof_mask, g_new, 0.0)
         g_new = jnp.where(wrong_dir, jnp.zeros_like(g_new), g_new)

@@ -64,6 +64,7 @@ class EnergyFn:
     eval_intra: Callable      # intra-ligand pairs only
     eval_other: Callable = None  # flex "other" pairs only
     pairs_on_coords: Callable = None  # (lig, coords, v0, v2) -> intra+other
+    inter_on_coords: Callable = None  # (lig, rec, coords, box, slope, v1)
 
 
 def make_energy_fn(sf: ScoringFunction, max_layers: int) -> EnergyFn:
@@ -167,7 +168,8 @@ def make_energy_fn(sf: ScoringFunction, max_layers: int) -> EnergyFn:
     return EnergyFn(sf=sf, max_layers=max_layers, eval_energy=total_energy,
                     eval_deriv=eval_deriv, eval_inter=eval_inter,
                     eval_intra=eval_intra, eval_other=eval_other,
-                    pairs_on_coords=pairs_on_coords)
+                    pairs_on_coords=pairs_on_coords,
+                    inter_on_coords=inter_energy)
 
 
 AUTHENTIC_V = jnp.array([1000.0, 1000.0, 1000.0], jnp.float32)

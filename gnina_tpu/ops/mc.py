@@ -39,6 +39,14 @@ class MCParams:
     num_saved_mins: int = 50
     hunt_cap: tuple = (10.0, 10.0, 10.0)
     minparams: MinimizeParams = MinimizeParams()
+    # Full-v refinement cadence.  The reference refines only "promising"
+    # steps (improved best / container not full, monte_carlo.cpp:120-135);
+    # per-lane gating is impossible in SIMT, so instead the latest promising
+    # pose of each lane is refined once every `refine_stride` steps (1 =
+    # every step = reference cadence paid on every lane; 0 = never, rely on
+    # the final refine_structure stages).  Promising poses are additionally
+    # inserted unrefined right away, so nothing is lost between boundaries.
+    refine_stride: int = 4
 
 
 class PoseContainer(NamedTuple):
@@ -106,22 +114,32 @@ def random_inside_sphere(key):
     return r * d
 
 
-def mutate_conf(key, conf: Conf, lig: LigandData, amplitude: float,
-                num_real_torsions, max_layers: int) -> Conf:
-    """One-DOF mutation (mutate.cpp:35-73)."""
+def gyration_radius(coords, root_pos, lig_heavy_mask):
+    """Ligand heavy-atom gyration radius about the root origin
+    (model.cpp:1002)."""
+    d2 = jnp.sum((coords - root_pos) ** 2, axis=-1)
+    cnt = jnp.maximum(jnp.sum(lig_heavy_mask), 1)
+    return jnp.sqrt(jnp.sum(jnp.where(lig_heavy_mask, d2, 0.0)) / cnt)
+
+
+def mutate_conf(key, conf: Conf, gr, amplitude: float,
+                num_real_torsions, has_rigid_dof=True) -> Conf:
+    """One-DOF mutation (mutate.cpp:35-73).
+
+    gr: current ligand gyration radius (computed by the caller from the
+    carried coords — saves an FK pass per MC step).
+    has_rigid_dof False (covalent complexes) restricts the draw to
+    torsions, matching a reference model with an empty `ligands` list."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
     t = conf.torsions.shape[-1]
-    which = jax.random.randint(k1, (), 0, num_real_torsions + 2)
+    lo = jnp.where(jnp.asarray(has_rigid_dof), 0, 2)
+    which = jax.random.randint(k1, (), lo, num_real_torsions + 2)
 
     # position mutation
     pos_new = conf.position + amplitude * random_inside_sphere(k2)
 
     # orientation mutation, scaled by current LIGAND gyration radius
     # (model.cpp:1002 uses ligand heavy atoms about the ligand root origin)
-    coords = fk.fk_coords(lig, conf, max_layers)
-    d2 = jnp.sum((coords - conf.position) ** 2, axis=-1)
-    cnt = jnp.maximum(jnp.sum(lig.lig_heavy_mask), 1)
-    gr = jnp.sqrt(jnp.sum(jnp.where(lig.lig_heavy_mask, d2, 0.0)) / cnt)
     rot = (amplitude / jnp.maximum(gr, EPSILON_FL)) * random_inside_sphere(k3)
     quat_new = jnp.where(gr > EPSILON_FL,
                          quaternion_increment(conf.orientation, rot),
@@ -157,35 +175,51 @@ def metropolis_accept(key, old_f, new_f, temperature):
 
 class MCCarry(NamedTuple):
     """Resumable MC chain state: carrying it across program invocations
-    chunks the search (bounded program run times, preemption recovery)."""
+    chunks the search (bounded program run times, preemption recovery).
+
+    coords mirror conf (saves FK passes); pending_* track the latest
+    promising pose awaiting its full-v refinement at the next stride
+    boundary (see MCParams.refine_stride)."""
 
     conf: Conf
     e: jnp.ndarray
     best_e: jnp.ndarray
     cont: PoseContainer
+    coords: jnp.ndarray            # (N,3) lab coords of conf
+    pending: Conf                  # latest promising pose since last refine
+    pending_valid: jnp.ndarray     # bool
+    pending_is_current: jnp.ndarray  # bool: pending == conf (chain head)
 
 
-def mc_init(key, lig: LigandData, params: MCParams, corner1, corner2) -> MCCarry:
+def mc_init(key, lig: LigandData, params: MCParams, corner1, corner2,
+            max_layers: int) -> MCCarry:
     t = lig.num_torsion_slots
     n = lig.types.shape[0]
     conf0 = randomize_conf(key, lig, corner1, corner2, t)
+    coords0 = fk.fk_coords(lig, conf0, max_layers)
     return MCCarry(conf=conf0, e=jnp.float32(MAX_FL),
                    best_e=jnp.float32(MAX_FL),
-                   cont=empty_container(params.num_saved_mins, t, n))
+                   cont=empty_container(params.num_saved_mins, t, n),
+                   coords=coords0, pending=conf0,
+                   pending_valid=jnp.asarray(False),
+                   pending_is_current=jnp.asarray(False))
 
 
 def mc_chunk(carry: MCCarry, key, num_steps: int, lig: LigandData, energy_fn,
              params: MCParams, max_layers: int, dof_mask,
-             num_real_torsions) -> MCCarry:
+             num_real_torsions, has_rigid_dof=True) -> MCCarry:
     """Run num_steps MC steps from a carried state (monte_carlo.cpp:99-148).
 
     energy_fn contract:
       eval_deriv(conf, v) -> (e, g) for BFGS;
-      eval_inter(conf, v1) -> metropolis/update energy;
-      eval_energy(conf, v) -> forward-only energy (line-search trials).
+      metro_on_coords(coords) -> metropolis/update energy at authentic v
+        (the reference's ig_metropolis->eval: the search grid's inter-only
+        energy for standard docking, parallel_mc.cpp:161-162);
+      eval_energy(conf, v) -> forward-only energy (line-search trials,
+        unused when the BFGS runs fused value-and-grad trials).
     """
     eval_deriv = energy_fn["eval_deriv"]
-    eval_inter = energy_fn["eval_inter"]
+    metro_on_coords = energy_fn["metro_on_coords"]
     eval_energy = energy_fn.get("eval_energy")
 
     hunt_cap = jnp.asarray(params.hunt_cap, jnp.float32)
@@ -204,48 +238,96 @@ def mc_chunk(carry: MCCarry, key, num_steps: int, lig: LigandData, energy_fn,
 
     def step(carry: Carry, k):
         k1, k2 = jax.random.split(k)
-        cand = mutate_conf(k1, carry.conf, lig, params.mutation_amplitude,
-                           num_real_torsions, max_layers)
+        gr = gyration_radius(carry.coords, carry.conf.position,
+                             lig.lig_heavy_mask)
+        cand = mutate_conf(k1, carry.conf, gr, params.mutation_amplitude,
+                           num_real_torsions, has_rigid_dof)
         res = bfgs(f_hunt, cand, params.minparams, dof_mask, f_val=fv_hunt)
         cand = res.x
-        cand_e = eval_inter(cand, authentic_v[1])
+        cand_coords = fk.fk_coords(lig, cand, max_layers)
+        cand_e = metro_on_coords(cand_coords)
 
         accept = metropolis_accept(k2, carry.e, cand_e, params.temperature)
         first = carry.e >= MAX_FL  # step 0 always accepts
         accept = jnp.logical_or(accept, first)
 
-        # refinement of promising accepted poses: the reference refines when
-        # accepted and (improved or container not full); we refine whenever
-        # accepted and improved-or-any-empty-slot
+        new_conf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), cand, carry.conf)
+        new_e = jnp.where(accept, cand_e, carry.e)
+        new_coords = jnp.where(accept, cand_coords, carry.coords)
+
+        # "promising" gate (monte_carlo.cpp:120-135): improved best OR
+        # container not yet full.  The pose is saved unrefined right away;
+        # its full-v refinement happens at the next stride boundary.
         has_empty = jnp.any(carry.cont.energy >= MAX_FL)
         promising = jnp.logical_and(
             accept, jnp.logical_or(cand_e < carry.best_e, has_empty))
 
-        refined = bfgs(f_full, cand, params.minparams, dof_mask, f_val=fv_full)
-        ref_e = eval_inter(refined.x, authentic_v[1])
-
-        use_ref = promising
-        new_conf = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, jnp.where(use_ref, a, b), 0 * a + b),
-            refined.x, cand)
-        # keep previous conf when not accepted
-        new_conf = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, a, b), new_conf, carry.conf)
-        new_e = jnp.where(accept, jnp.where(use_ref, ref_e, cand_e), carry.e)
-
-        coords = fk.fk_coords(lig, new_conf, max_layers)
         cont = jax.tree_util.tree_map(
             lambda a, b: jnp.where(promising, a, b),
-            add_to_container(carry.cont, new_conf, new_e, coords,
+            add_to_container(carry.cont, new_conf, new_e, new_coords,
                              lig.heavy_mask, params.min_rmsd),
             carry.cont)
-
         best_e = jnp.where(jnp.logical_and(promising, new_e < carry.best_e),
                            new_e, carry.best_e)
-        return Carry(conf=new_conf, e=new_e, best_e=best_e, cont=cont), None
 
+        pending = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(promising, a, b), new_conf, carry.pending)
+        pending_valid = jnp.logical_or(carry.pending_valid, promising)
+        pending_is_current = jnp.where(
+            promising, True,
+            jnp.logical_and(carry.pending_is_current, ~accept))
+
+        return Carry(conf=new_conf, e=new_e, best_e=best_e, cont=cont,
+                     coords=new_coords, pending=pending,
+                     pending_valid=pending_valid,
+                     pending_is_current=pending_is_current), None
+
+    def refine_phase(carry: Carry) -> Carry:
+        """Full-v refinement of the pending promising pose (the reference's
+        in-loop `quasi_newton_par(..., authentic_v)`, monte_carlo.cpp:128).
+        When the pending pose is still the chain head, the chain continues
+        from the refined conf exactly like the reference."""
+        res = bfgs(f_full, carry.pending, params.minparams, dof_mask,
+                   f_val=fv_full)
+        rcoords = fk.fk_coords(lig, res.x, max_layers)
+        re = metro_on_coords(rcoords)
+        do = carry.pending_valid
+        cont = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(do, a, b),
+            add_to_container(carry.cont, res.x, re, rcoords,
+                             lig.heavy_mask, params.min_rmsd),
+            carry.cont)
+        best_e = jnp.where(jnp.logical_and(do, re < carry.best_e), re,
+                           carry.best_e)
+        move = jnp.logical_and(do, carry.pending_is_current)
+        conf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(move, a, b), res.x, carry.conf)
+        e = jnp.where(move, re, carry.e)
+        coords = jnp.where(move, rcoords, carry.coords)
+        return Carry(conf=conf, e=e, best_e=best_e, cont=cont, coords=coords,
+                     pending=carry.pending,
+                     pending_valid=jnp.asarray(False),
+                     pending_is_current=jnp.asarray(False))
+
+    stride = params.refine_stride
     keys = jax.random.split(key, num_steps)
-    final, _ = jax.lax.scan(step, carry, keys)
+    if stride and stride > 0 and num_steps >= stride:
+        # flat scan with a strided cond (NOT a nested scan-of-scans: that
+        # shape crashes the TPU compiler); the cond predicate is uniform
+        # across vmapped lanes so only one branch executes per step
+        idx = jnp.arange(num_steps, dtype=jnp.int32)
+
+        def step_maybe_refine(carry, xs):
+            k, i = xs
+            carry, _ = step(carry, k)
+            do_refine = (i % stride) == (stride - 1)
+            carry = jax.lax.cond(do_refine, refine_phase, lambda c: c, carry)
+            return carry, None
+
+        final, _ = jax.lax.scan(step_maybe_refine, carry, (keys, idx))
+    else:
+        final, _ = jax.lax.scan(step, carry, keys)
     return final
 
 
@@ -255,7 +337,7 @@ def run_mc_chain(key, lig: LigandData, energy_fn, params: MCParams,
     """Full MC chain in one program (init + all steps); prefer the chunked
     mc_init/mc_chunk pair for long runs."""
     k_init, k_loop = jax.random.split(key)
-    carry = mc_init(k_init, lig, params, corner1, corner2)
+    carry = mc_init(k_init, lig, params, corner1, corner2, max_layers)
     final = mc_chunk(carry, k_loop, params.num_steps, lig, energy_fn,
                      params, max_layers, dof_mask, num_real_torsions)
     return final.cont

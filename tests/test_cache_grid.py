@@ -13,6 +13,8 @@ from gnina_tpu.ops import fk
 from gnina_tpu.ops.energy import make_energy_fn
 from gnina_tpu.types import initial_conf
 
+pytestmark = pytest.mark.slow  # compiles big device programs
+
 DATA = "/root/reference/test/gnina/data"
 
 

@@ -7,6 +7,8 @@ import pytest
 
 from gnina_tpu.cli import build_parser, main
 
+pytestmark = pytest.mark.slow  # compiles big device programs
+
 DATA = "/root/reference/test/gnina/data"
 
 

@@ -8,6 +8,8 @@ import pytest
 from gnina_tpu.chem import ingest
 from gnina_tpu.docking import DockingEngine, DockSettings
 
+pytestmark = pytest.mark.slow  # compiles big device programs
+
 DATA = "/root/reference/test/gnina/data"
 
 

@@ -7,6 +7,8 @@ from gnina_tpu.chem import ingest, sdf
 from gnina_tpu.chem.tree_build import build_tree_from_molecule
 from gnina_tpu.models.registry import expand_model_names, load_model
 
+pytestmark = pytest.mark.slow  # compiles big device programs
+
 DATA = "/root/reference/test/gnina/data"
 
 

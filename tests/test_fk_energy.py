@@ -11,6 +11,8 @@ from gnina_tpu.ops.energy import Box, make_energy_fn
 from gnina_tpu.scoring.builtin import get_scoring_function
 from gnina_tpu.types import Conf, LigandData, ReceptorData
 
+pytestmark = pytest.mark.slow  # compiles big device programs
+
 
 C = int(SminaType.AliphaticCarbonXSHydrophobe)
 

@@ -6,6 +6,8 @@ import pytest
 from gnina_tpu.chem import flexinfo, ingest, sdf
 from gnina_tpu.chem.tree_build import attach_flex, build_tree_from_molecule
 
+pytestmark = pytest.mark.slow  # compiles big device programs
+
 DATA = "/root/reference/test/gnina/data"
 
 

@@ -8,6 +8,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compiles big device programs
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

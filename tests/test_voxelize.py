@@ -1,11 +1,15 @@
 """Voxelizer correctness vs a naive numpy reference implementation."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from gnina_tpu.models.typer import default_lig_typer, default_rec_typer
 from gnina_tpu.ops.voxelize import density_at, grid_points_1d, voxelize
+
+pytestmark = pytest.mark.slow  # compiles big device programs
 
 
 def naive_voxelize(coords, channels, radii, mask, center, num_channels,
