@@ -52,6 +52,7 @@ class ChannelTyper:
     def __init__(self, map_text: str):
         table = np.full(NUM_TYPES, -1, np.int32)
         nchan = 0
+        channel_names = []
         for line in map_text.strip().splitlines():
             names = line.split()
             if not names:
@@ -60,9 +61,13 @@ class ChannelTyper:
                 if n not in _NAME_TO_ID:
                     raise ValueError(f"unknown smina type in map: {n!r}")
                 table[_NAME_TO_ID[n]] = nchan
+            channel_names.append(names[0])
             nchan += 1
         self.table = table
         self.num_channels = nchan
+        # per-channel display name = first type on the map line (libmolgrid
+        # FileMappedGninaTyper get_type_names; gninagrid dx/map filenames)
+        self.channel_names = channel_names
         # per-type radius used for gridding (xs radius, default table)
         self.radii = DEFAULT_TABLE.xs_radius.copy()
 

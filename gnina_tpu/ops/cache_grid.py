@@ -112,28 +112,23 @@ def make_populate_fn(sf: ScoringFunction, npts: Tuple[int, int, int],
     return populate
 
 
-def _trilinear(flat_data, slot_base, base_idx, frac, ny, nz):
-    """Gather 8 corners and interpolate. flat_data: (S*nx*ny*nz,);
-    slot_base: (N,) = slot * nx*ny*nz."""
-    x0, y0, z0 = base_idx[:, 0], base_idx[:, 1], base_idx[:, 2]
+def _trilinear(data, slot, base_idx, frac):
+    """Trilinear interpolation with ONE gather per atom.
+
+    data: (S, nx, ny, nz); slot: (N,); base_idx: (N,3); frac: (N,3).
+    A single lax.gather pulls each atom's (2,2,2) corner cube — 8x fewer
+    gather ops than per-corner indexing, the dominant cost of grid search
+    on TPU (the innermost z pair is contiguous in memory)."""
+    starts = jnp.concatenate([slot[:, None], base_idx], axis=1)  # (N,4)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2, 3))
+    cube = jax.lax.gather(data, starts, dn, (1, 2, 2, 2))  # (N,2,2,2)
     fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
-
-    def at(dx, dy, dz):
-        idx = ((x0 + dx) * ny + (y0 + dy)) * nz + (z0 + dz)
-        return flat_data[slot_base + idx]
-
-    f000 = at(0, 0, 0)
-    f100 = at(1, 0, 0)
-    f010 = at(0, 1, 0)
-    f110 = at(1, 1, 0)
-    f001 = at(0, 0, 1)
-    f101 = at(1, 0, 1)
-    f011 = at(0, 1, 1)
-    f111 = at(1, 1, 1)
-    mx, my, mz = 1 - fx, 1 - fy, 1 - fz
-    return (f000 * mx * my * mz + f100 * fx * my * mz + f010 * mx * fy * mz
-            + f110 * fx * fy * mz + f001 * mx * my * fz + f101 * fx * my * fz
-            + f011 * mx * fy * fz + f111 * fx * fy * fz)
+    wx = jnp.stack([1 - fx, fx], axis=1)
+    wy = jnp.stack([1 - fy, fy], axis=1)
+    wz = jnp.stack([1 - fz, fz], axis=1)
+    return jnp.einsum("nxyz,nx,ny,nz->n", cube, wx, wy, wz)
 
 
 def cache_inter_energy(grids: CacheGrids, coords, types, charges, heavy_mask,
@@ -161,11 +156,9 @@ def cache_inter_energy(grids: CacheGrids, coords, types, charges, heavy_mask,
     frac = sc - base_f  # differentiable via sc
 
     slot = grids.slot_of_type[types]                 # (N,)
-    slot_base = slot * (nx * ny * nz)
-    f = _trilinear(grids.data.reshape(-1), slot_base, base, frac, ny, nz)
+    f = _trilinear(grids.data, slot, base, frac)
     if grids.chargedata.shape[1] > 1:
-        fc = _trilinear(grids.chargedata.reshape(-1), slot_base, base, frac,
-                        ny, nz)
+        fc = _trilinear(grids.chargedata, slot, base, frac)
         f = f + charges * fc
     f = curl(f, v1)
     valid = heavy_mask & grids.type_gridded[types]

@@ -49,11 +49,13 @@ def density_at(d2, radius):
 
 def voxelize(coords, channels, radii, mask, center, num_channels: int,
              npoints: int = 48, resolution: float = 0.5,
-             radius_scale: float = 1.0, precision=None):
+             radius_scale: float = 1.0, precision=None,
+             binary: bool = False):
     """Density grid (C, n, n, n) for one molecule/complex.
 
     coords: (A,3); channels: (A,) int, -1 = skip; radii: (A,); mask: (A,) bool;
-    center: (3,).
+    center: (3,).  binary=True gives libmolgrid binary occupancy: 1 inside
+    the atom radius, 0 outside, capped at 1 under overlap.
     """
     # HIGHEST precision by default: the MXU's bf16 passes perturb densities
     # by ~3e-2, far beyond the 1e-4 grid-parity bar (compare_bin.py:23)
@@ -79,8 +81,13 @@ def voxelize(coords, channels, radii, mask, center, num_channels: int,
         d2 = (jnp.sum(pts * pts, axis=1)[:, None]
               + jnp.sum(coords * coords, axis=1)[None, :]
               - 2.0 * jnp.matmul(pts, coords.T, precision=precision))
-        dens = density_at(jnp.maximum(d2, 0.0), r[None, :])
+        if binary:
+            dens = jnp.where(d2 <= (r * r)[None, :], 1.0, 0.0)
+        else:
+            dens = density_at(jnp.maximum(d2, 0.0), r[None, :])
         out = jnp.matmul(dens, onehot, precision=precision)  # (n^2, C)
+        if binary:
+            out = jnp.minimum(out, 1.0)
         return out.reshape(npoints, npoints, num_channels)
 
     grid = jax.lax.map(slab, xs)  # (n, n, n, C) with axes (x,y,z,C)
