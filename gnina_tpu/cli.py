@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
     gsc.add_argument("--minimize_iters", type=int, default=0)
     gsc.add_argument("--accurate_line", action="store_true")
     gsc.add_argument("--force_cap", type=float, default=1000.0)
+    gsc.add_argument("--user_grid",
+                     help="AutoDock4 .map adding a per-atom bias term")
+    gsc.add_argument("--user_grid_lambda", type=float, default=-1.0,
+                     help="scale scoring terms by lambda and the user grid "
+                          "by 1-lambda (main.cpp:1312-1349)")
 
     gcnn = p.add_argument_group("Convolutional neural net (CNN) scoring")
     gcnn.add_argument("--cnn_scoring", default="rescore",
@@ -237,7 +242,29 @@ def main(argv: Optional[List[str]] = None) -> int:
                         rotations=args.cnn_rotations, seed=args.seed,
                         center=center, verbose=args.cnn_verbose)
 
-    engine = DockingEngine(settings, sf=sf, cnn_scorer=cnn)
+    user_grid = None
+    ug_box = None
+    if args.user_grid:
+        from gnina_tpu.ops.user_grid import read_ad4_map
+
+        ug_scale = 1.0
+        if args.user_grid_lambda != -1.0:
+            ug_scale = 1.0 - args.user_grid_lambda
+            # scale all scoring-term weights by lambda (set_scaling_factor)
+            import dataclasses as _dc2
+
+            base = sf if sf is not None else get_scoring_function(
+                args.scoring if args.scoring != "default" else "vina")
+            sf = _dc2.replace(
+                base,
+                pair_weights=tuple(w * args.user_grid_lambda
+                                   for w in base.pair_weights))
+        user_grid, ug_center, ug_size = read_ad4_map(args.user_grid,
+                                                     scaling=ug_scale)
+        ug_box = (ug_center, ug_size)
+
+    engine = DockingEngine(settings, sf=sf, cnn_scorer=cnn,
+                           user_grid=user_grid)
     rec = ingest.Receptor.from_file(args.receptor)
 
     # covalent docking context (reference: covinfo.cpp, molgetter.cpp:105+)
@@ -300,6 +327,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         center = np.array([args.center_x, args.center_y, args.center_z],
                           np.float32)
         size = np.array([args.size_x, args.size_y, args.size_z], np.float32)
+    elif ug_box is not None:
+        # the user grid defines the search box (setup_user_gd,
+        # main.cpp:1338-1342)
+        center, size = ug_box
 
     cnn_enabled = cnn is not None
 

@@ -77,6 +77,26 @@ def _round_up(x: int, m: int) -> int:
     return max(((x + m - 1) // m) * m, m)
 
 
+def exact_split(efn, lig_d: LigandData, rec_d: ReceptorData, conf: Conf,
+                box: Box, slope, cap):
+    """(affinity_arg, intramolecular) decomposition with flex residues —
+    reference-exact per model.cu:352-407:
+      intramolecular = ligand intra pairs (v[0]) + flex-rigid inter (v[1])
+                       + flex-flex other pairs (v[2])
+      affinity_arg   = ligand-rigid inter + ligand-flex other pairs
+    curl is per atom/pair, so the inter split by atom subset is exact."""
+    inter_all = efn.eval_inter(lig_d, rec_d, conf, box, slope, cap[1])
+    lig_only = lig_d._replace(heavy_mask=lig_d.lig_heavy_mask)
+    inter_lig = efn.eval_inter(lig_only, rec_d, conf, box, slope, cap[1])
+    intra = efn.eval_intra(lig_d, conf, cap[0])
+    other_all = efn.eval_other(lig_d, conf, cap[2])
+    ffl = lig_d._replace(opair_mask=lig_d.opair_mask & lig_d.opair_ff)
+    other_ff = efn.eval_other(ffl, conf, cap[2])
+    affinity_arg = inter_lig + (other_all - other_ff)
+    intramol = intra + (inter_all - inter_lig) + other_ff
+    return affinity_arg, intramol
+
+
 def _num_steps_heuristic(lig: LigandStruct, settings: DockSettings) -> int:
     """main.cpp:449-456."""
     dof = 6 + lig.num_torsions
@@ -100,11 +120,16 @@ class DockingEngine:
     """Builds and caches jitted docking programs per (shape bucket, box)."""
 
     def __init__(self, settings: DockSettings = DockSettings(),
-                 sf: Optional[ScoringFunction] = None, cnn_scorer=None):
+                 sf: Optional[ScoringFunction] = None, cnn_scorer=None,
+                 user_grid=None):
         self.settings = settings
         self.sf = sf if sf is not None else get_scoring_function(settings.scoring)
         self.cnn = cnn_scorer
+        self.user_grid = user_grid  # ops.user_grid.UserGrid bias (--user_grid)
         self._programs = {}  # jitted dock programs keyed by static config
+
+    def _make_efn(self, max_layers: int):
+        return make_energy_fn(self.sf, max_layers, user_grid=self.user_grid)
 
     # -- padding ------------------------------------------------------------
 
@@ -135,38 +160,16 @@ class DockingEngine:
         center = lig.orig_coords.mean(axis=0)
         size = np.full(3, 2 * (self.sf.cutoff + lig.max_span()), np.float32)
         lig_d, rec_d, box, max_layers, _ = self._prepare(rec, lig, center, size)
-        efn = make_energy_fn(self.sf, max_layers)
+        efn = self._make_efn(max_layers)
         t = lig.num_torsions
         conf = initial_conf(lig, lig_d.num_torsion_slots)
         v = jnp.full((3,), self.settings.forcecap, jnp.float32)
-
-        # flex bookkeeping: intramolecular = lig-intra + flex-rigid +
-        # flex-flex; the affinity argument is everything else
-        # (model.cu:352-407 eval_intramolecular + eval_adjusted)
-        import jax.numpy as _jnp
-
-        opairs = lig.other_pairs if lig.other_pairs is not None else \
-            np.zeros((0, 2), np.int32)
-        nl = lig.lig_atoms
-        ff = np.array([(a >= nl and b >= nl) for a, b in opairs], bool)
-        q_pad = lig_d.opair_mask.shape[0]
-        ff_mask = jnp.asarray(np.pad(ff, (0, q_pad - len(ff))))
-        lig_heavy = lig_d.lig_heavy_mask
 
         @jax.jit
         def program(lig_d, rec_d, conf):
             # naive (no box penalty): use an enormous box
             big = Box(lo=jnp.full(3, -1e8), hi=jnp.full(3, 1e8))
-            inter_all = efn.eval_inter(lig_d, rec_d, conf, big, 0.0, v[1])
-            lig_only = lig_d._replace(heavy_mask=lig_heavy)
-            inter_lig = efn.eval_inter(lig_only, rec_d, conf, big, 0.0, v[1])
-            intra = efn.eval_intra(lig_d, conf, v[0])
-            other_all = efn.eval_other(lig_d, conf, v[2])
-            ffl = lig_d._replace(opair_mask=lig_d.opair_mask & ff_mask)
-            other_ff = efn.eval_other(ffl, conf, v[2])
-            affinity_arg = inter_lig + (other_all - other_ff)
-            intramol = intra + (inter_all - inter_lig) + other_ff
-            return affinity_arg, intramol
+            return exact_split(efn, lig_d, rec_d, conf, big, 0.0, v)
 
         inter, intra = program(lig_d, rec_d, conf)
         e = self._conf_independent(lig, float(inter))
@@ -235,7 +238,7 @@ class DockingEngine:
             hi = lig.orig_coords.max(axis=0) + self.settings.autobox_add
             center, size = (lo + hi) / 2, hi - lo
         lig_d, rec_d, box, max_layers, _ = self._prepare(rec, lig, center, size)
-        efn = make_energy_fn(self.sf, max_layers)
+        efn = self._make_efn(max_layers)
         t = lig.num_torsions
         tp = lig_d.num_torsion_slots
         conf0 = initial_conf(lig, tp)
@@ -261,8 +264,8 @@ class DockingEngine:
             else:
                 conf, _e = refine(lig_d, rec_d, conf, box)
             big = Box(lo=jnp.full(3, -1e8), hi=jnp.full(3, 1e8))
-            inter = efn.eval_inter(lig_d, rec_d, conf, big, 0.0, cap[1])
-            intra = efn.eval_intra(lig_d, conf, cap[0])
+            inter, intra = exact_split(efn, lig_d, rec_d, conf, big, 0.0,
+                                       cap)
             coords = fk.fk_coords(lig_d, conf, max_layers)
             return conf, inter, intra, coords
 
@@ -517,9 +520,18 @@ class DockingEngine:
         if key not in self._programs:
             self._programs[key] = jax.jit(cg.make_populate_fn(
                 self.sf, npts, num_slots, charge_terms))
-        return self._programs[key](
+        grids = self._programs[key](
             rec_d, jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(slot_types),
             jnp.asarray(slot_of_type), jnp.asarray(gridded))
+        if self.user_grid is not None:
+            # fold the user-grid bias into every type slot (cache.cpp:177)
+            from gnina_tpu.ops.user_grid import user_values_on_lattice
+
+            uv = user_values_on_lattice(self.user_grid, np.asarray(lo),
+                                        cg.GRANULARITY, npts)
+            grids = grids._replace(
+                data=grids.data + jnp.asarray(uv)[None])
+        return grids
 
     def _run_dock_program(self, rec, ligs, lig_batch, dof_masks, num_tors_b,
                           rec_d, box, max_layers, num_steps, miniters,
@@ -670,7 +682,7 @@ class DockingEngine:
                             num_saved_mins=num_out, minparams=minpar,
                             refine_stride=s.refine_stride)
         cap = jnp.full((3,), s.forcecap, jnp.float32)
-        efn = make_energy_fn(self.sf, max_layers)
+        efn = self._make_efn(max_layers)
         refine = self._build_refine(efn, minpar, cap)
         slope = 1e3
         exhaustiveness = s.exhaustiveness
@@ -825,10 +837,10 @@ class DockingEngine:
                 def score_pose(pos, quat, tors, e_in):
                     conf = Conf(position=pos, orientation=quat, torsions=tors)
                     # exact rescore (always the empirical affinity, even in
-                    # CNN modes — main.cpp:336-343)
-                    intra = efn.eval_intra(lig_d, conf, cap[0])
-                    inter = efn.eval_inter(lig_d, rec_d, conf, box, slope,
-                                           cap[1])
+                    # CNN modes — main.cpp:336-343), with the flex-exact
+                    # affinity/intramolecular split (model.cu:352-407)
+                    inter, intra = exact_split(efn, lig_d, rec_d, conf, box,
+                                               slope, cap)
                     coords = fk.fk_coords(lig_d, conf, max_layers)
                     valid = e_in < MAX_FL
                     return (conf, jnp.where(valid, inter, MAX_FL), intra,

@@ -67,12 +67,16 @@ class EnergyFn:
     inter_on_coords: Callable = None  # (lig, rec, coords, box, slope, v1)
 
 
-def make_energy_fn(sf: ScoringFunction, max_layers: int) -> EnergyFn:
+def make_energy_fn(sf: ScoringFunction, max_layers: int,
+                   user_grid=None) -> EnergyFn:
     """Build jit-able energy/gradient functions.
 
     All functions take explicit (lig: LigandData, rec: ReceptorData,
     conf: Conf, box: Box, slope, v: (3,)) so they can be vmapped/jitted by
     callers over pose batches.
+
+    user_grid: optional ops.user_grid.UserGrid — its interpolated value is
+    added per movable atom BEFORE curl, like non_cache.cpp:168-173.
     """
     tables = _type_param_arrays(sf)
     cutoff_sqr = sf.cutoff ** 2
@@ -105,6 +109,10 @@ def make_energy_fn(sf: ScoringFunction, max_layers: int) -> EnergyFn:
                               qa=lig.charges[:, None], qb=rec.charges[None, :])
         valid = (r2 < cutoff_sqr) & rec.mask[None, :] & lig.heavy_mask[:, None]
         e_atom = jnp.sum(jnp.where(valid, e_pair, 0.0), axis=1)  # (N,)
+        if user_grid is not None:
+            from gnina_tpu.ops.user_grid import user_grid_atom_energy
+
+            e_atom = e_atom + user_grid_atom_energy(user_grid, adj, 0.0)
         e_atom = curl(e_atom, v1)
         e_atom = jnp.where(lig.heavy_mask, e_atom + slope * oob, 0.0)
         return jnp.sum(e_atom)

@@ -51,6 +51,9 @@ class LigandData(NamedTuple):
     opair_a: jnp.ndarray       # (Q,) int32
     opair_b: jnp.ndarray       # (Q,) int32
     opair_mask: jnp.ndarray    # (Q,) bool
+    opair_ff: jnp.ndarray      # (Q,) bool — both ends flex (flex-flex pairs
+                               # belong to the intramolecular sum,
+                               # model.cu:385-397)
     # conf-independent inputs (scalars)
     num_tors: jnp.ndarray
     num_heavy_atoms: jnp.ndarray
@@ -131,6 +134,9 @@ def pad_ligand(lig, n_pad: int, m_pad: int, p_pad: int,
         opair_a=jnp.asarray(np.pad(opairs[:, 0] if q else np.zeros(0, np.int32), (0, aq))),
         opair_b=jnp.asarray(np.pad(opairs[:, 1] if q else np.zeros(0, np.int32), (0, aq))),
         opair_mask=jnp.asarray(np.pad(np.ones(q, bool), (0, aq))),
+        opair_ff=jnp.asarray(np.pad(
+            (opairs[:, 0] >= lig.lig_atoms) & (opairs[:, 1] >= lig.lig_atoms)
+            if q else np.zeros(0, bool), (0, aq))),
         num_tors=jnp.float32(lig.num_tors),
         num_heavy_atoms=jnp.float32(lig.num_heavy_atoms),
         num_hydrophobic_atoms=jnp.float32(lig.num_hydrophobic_atoms),

@@ -39,6 +39,7 @@ def tiny_ligand():
         opair_a=jnp.zeros(1, jnp.int32),
         opair_b=jnp.zeros(1, jnp.int32),
         opair_mask=jnp.zeros(1, bool),
+        opair_ff=jnp.zeros(1, bool),
         parent=jnp.array([-1, 0], jnp.int32),
         rel_axis=jnp.array([[1.0, 0, 0], [1.0, 0, 0]], jnp.float32),
         rel_origin=jnp.array([[0.0, 0, 0], [2.0, 0, 0]], jnp.float32),
