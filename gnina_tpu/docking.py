@@ -46,7 +46,10 @@ class DockSettings:
     num_mc_steps: int = 0          # 0 -> heuristic
     max_mc_steps: int = 0
     refine_stride: int = 4         # full-v refinement cadence (mc.MCParams)
-    fused_line_search: bool = True  # value+grad at all Armijo trials at once
+    # value+grad at all 10 Armijo trials at once.  OFF by default: with the
+    # cell-row gather layout the 10 forward trials cost ~1 eval, so paying
+    # 10 full gradients per iteration is a net loss (measured on v5e).
+    fused_line_search: bool = False
     temperature: float = 1.2
     autobox_add: float = 4.0
     minimize_iters: int = 0        # 0 -> heuristic
@@ -529,8 +532,8 @@ class DockingEngine:
 
             uv = user_values_on_lattice(self.user_grid, np.asarray(lo),
                                         cg.GRANULARITY, npts)
-            grids = grids._replace(
-                data=grids.data + jnp.asarray(uv)[None])
+            data = grids.data + jnp.asarray(uv)[None]
+            grids = grids._replace(data=data, cells=cg._make_cells(data))
         return grids
 
     def _run_dock_program(self, rec, ligs, lig_batch, dof_masks, num_tors_b,
@@ -602,7 +605,9 @@ class DockingEngine:
                 slot_of_type=jnp.zeros(28, jnp.int32),
                 type_gridded=jnp.zeros(28, bool),
                 origin=jnp.zeros(3, jnp.float32),
-                dims_minus_1=jnp.zeros(3, jnp.float32))
+                dims_minus_1=jnp.zeros(3, jnp.float32),
+                cells=jnp.zeros((1, 8), jnp.float32),
+                ccells=jnp.zeros((1, 8), jnp.float32))
         if mesh is not None:
             # ligand axis over "dp"; receptor/grids replicated.  XLA
             # propagates the shardings through the jitted vmapped programs —
