@@ -60,6 +60,12 @@ class DockSettings:
     mc_chunk_steps: int = 256      # steps per device program execution
     search_grid: bool = True       # MC search on precomputed cache grids
                                    # (the reference's default, cache.cpp)
+    # Fused Pallas search path (ops/pallas_dock.py): the whole per-step
+    # BFGS runs in one Mosaic kernel.  "auto" uses it on TPU for eligible
+    # jobs (vina-family SF, ligand-only, CNN not in the search loop);
+    # "on" forces it (interpret mode off-TPU: slow, tests only); "off"
+    # always uses the XLA path.
+    fused_search: str = "auto"
 
 
 @dataclasses.dataclass
@@ -494,14 +500,68 @@ class DockingEngine:
         num_steps = max(_num_steps_heuristic(l, s) for l in ligs)
         miniters = max(_minimize_iters_heuristic(l, s) for l in ligs)
 
+        fused_pack = fused_meta = fused_pack_out = fused_meta_out = None
+        if mesh is None and self._fused_eligible(ligs):
+            from gnina_tpu.ops import mc_fused, pallas_dock as pdk
+
+            # receptor arrays padded host-side (rec_d lives on the device;
+            # reading it back would round-trip the accelerator tunnel)
+            kr = len(pruned.types)
+            rc = np.zeros((k, 3), np.float32)
+            rc[:kr] = pruned.coords
+            rt = np.zeros((k,), np.int32)
+            rt[:kr] = pruned.types
+            rq = np.zeros((k,), np.float32)
+            rq[:kr] = pruned.charges
+            rm = np.zeros((k,), np.float32)
+            rm[:kr] = 1.0
+            fused_pack = pdk.build_pack(
+                ligs, rc, rt, rq, rm,
+                s.exhaustiveness, self.sf.table, m_pad=m)
+            fused_meta = mc_fused.lane_meta(ligs, s.exhaustiveness,
+                                            fused_pack, n)
+            # second lane layout for the finish-phase refinement: one lane
+            # per saved pose (ligand x num_out) instead of per chain
+            num_out = max(s.num_modes, s.num_mc_saved)
+            fused_pack_out = pdk.build_pack(
+                ligs, rc, rt, rq, rm, num_out, self.sf.table, m_pad=m)
+            fused_meta_out = mc_fused.lane_meta(ligs, num_out,
+                                                fused_pack_out, n)
+
         grids = None
-        if s.search_grid:
+        if s.search_grid and fused_pack is None:
             grids = self._populate_cache(ligs, rec_d, lo, hi)
         out = self._run_dock_program(
             rec, ligs, lig_batch, dof_masks, num_tors_b, rec_d, box,
             max_layers, num_steps, miniters, seed, grids, mesh=mesh,
-            rigid_b=rigid_b)
+            rigid_b=rigid_b, fused_pack=fused_pack, fused_meta=fused_meta,
+            fused_pack_out=fused_pack_out, fused_meta_out=fused_meta_out)
         return out[:n_real]
+
+    def _fused_eligible(self, ligs) -> bool:
+        """The fused Pallas search covers: vina-family scoring, ligand-only
+        (no flex residues), CNN out of the search loop, no user grids.
+        Everything else takes the general XLA path."""
+        s = self.settings
+        if s.fused_search == "off":
+            return False
+        if s.fused_search != "on" and jax.default_backend() not in (
+                "tpu", "axon"):
+            return False  # interpret mode is for tests only
+        from gnina_tpu.ops.pallas_dock import extract_vina_terms
+
+        if extract_vina_terms(self.sf) is None:
+            return False
+        if self.user_grid is not None:
+            return False
+        if self.cnn is not None and s.cnn_scoring not in ("none", "rescore"):
+            return False
+        for l in ligs:
+            if l.num_lig_atoms not in (-1, l.num_atoms):
+                return False  # flex residues attached
+            if l.other_pairs is not None and len(l.other_pairs):
+                return False
+        return True
 
     def _populate_cache(self, ligs, rec_d, lo, hi, num_slots: int = 16):
         """Build the per-type search grids for this receptor/box
@@ -539,7 +599,9 @@ class DockingEngine:
     def _run_dock_program(self, rec, ligs, lig_batch, dof_masks, num_tors_b,
                           rec_d, box, max_layers, num_steps, miniters,
                           seed: Optional[int], grids=None, mesh=None,
-                          rigid_b=None) -> List[List[PoseResult]]:
+                          rigid_b=None, fused_pack=None, fused_meta=None,
+                          fused_pack_out=None,
+                          fused_meta_out=None) -> List[List[PoseResult]]:
         s = self.settings
         num_out = max(s.num_modes, s.num_mc_saved)
         if rigid_b is None:
@@ -578,16 +640,36 @@ class DockingEngine:
         # device executions must stay well under the tunnel watchdog
         lanes = max(len(ligs) * s.exhaustiveness, 1)
         base_chunk = int(self.settings.mc_chunk_steps) or num_steps
-        chunk = min(num_steps, max(32, base_chunk * 64 // max(lanes, 64)))
-        prog_key = (max_layers, chunk, miniters, s.exhaustiveness,
-                    num_out, mode, has_cnn, use_grid_search)
+        use_fused = fused_pack is not None
+        if use_fused:
+            # fused steps are ~10-30x cheaper per lane than the XLA path
+            chunk = min(num_steps,
+                        max(32, base_chunk * 128 // max(lanes, 128)))
+            from gnina_tpu.ops import pallas_dock as pdk
+
+            fdims = pdk._static_dims(fused_pack)
+            n_hvy = int((fused_pack.heavy_idx >= 0).sum(axis=1).max())
+            prog_key = ("fused", fdims, n_hvy, chunk, miniters,
+                        s.exhaustiveness, num_out)
+        else:
+            chunk = min(num_steps, max(32, base_chunk * 64 // max(lanes, 64)))
+            fdims = None
+            prog_key = (max_layers, chunk, miniters, s.exhaustiveness,
+                        num_out, mode, has_cnn, use_grid_search)
         if cnn_obj is None and prog_key in self._programs:
             progs = self._programs[prog_key]
         else:
+            fused = fused_out = None
+            if use_fused:
+                fused = pdk.FusedBfgs(self.sf, fused_pack, maxiters=miniters,
+                                      want_metro=True, n_iter=n_hvy)
+                fused_out = pdk.FusedBfgs(self.sf, fused_pack_out,
+                                          maxiters=miniters,
+                                          want_metro=False, n_iter=n_hvy)
             progs = self._build_dock_program(
                 max_layers, chunk, miniters, num_out, cnn_obj,
                 use_cnn_metro, use_cnn_refine, use_cnn_search,
-                use_grid_search)
+                use_grid_search, fused=fused, fused_out=fused_out)
             if cnn_obj is None:
                 self._programs[prog_key] = progs
 
@@ -622,24 +704,87 @@ class DockingEngine:
             keys = jax.device_put(keys, dp_sh)
             rec_d = jax.device_put(rec_d, rep_sh)
             grids = jax.device_put(grids, rep_sh)
+        import os as _os
+        import time as _time
+        _prof = bool(_os.environ.get("GNINA_TPU_PROFILE"))
+
+        def _tick(label, _last=[_time.time()]):
+            if _prof:
+                now = _time.time()
+                print(f"[prof] {label}: {now - _last[0]:.2f}s", flush=True)
+                _last[0] = now
+
         carry = init_fn(lig_batch, box.lo, box.hi, keys)
+        if _prof:
+            jax.block_until_ready(carry)
+        _tick("init")
         while done < num_steps:
-            ckeys = jax.vmap(lambda kk: jax.random.fold_in(kk, 1000 + ci))(keys)
-            carry = chunk_fn(carry, lig_batch, dof_masks, num_tors_b, rigid_b,
-                             rec_d, grids, box.lo, box.hi, ckeys)
+            if use_fused:
+                ck = jax.random.fold_in(base, 9000 + ci)
+                carry = chunk_fn(carry, ck, fused_pack, fused_meta,
+                                 box.lo, box.hi)
+            else:
+                ckeys = jax.vmap(
+                    lambda kk: jax.random.fold_in(kk, 1000 + ci))(keys)
+                carry = chunk_fn(carry, lig_batch, dof_masks, num_tors_b,
+                                 rigid_b, rec_d, grids, box.lo, box.hi, ckeys)
             done += chunk
             ci += 1
+            if _prof:
+                jax.block_until_ready(carry)
+            _tick(f"chunk{ci}")
         merge_fn, stage_fn, rescore_fn = finish_fn
         mconf, mdone, menergy = merge_fn(carry, lig_batch)
+        if _prof:
+            jax.block_until_ready(mconf)
+            print("[prof] cont.e:",
+                  np.asarray(carry.cont.energy).reshape(-1)[:16], flush=True)
+            print("[prof] menergy:", np.asarray(menergy)[:, :8], flush=True)
+        _tick("merge")
         for stage_i in range(5):
-            mconf, mdone = stage_fn(mconf, mdone, lig_batch, rec_d,
-                                    box.lo, box.hi,
-                                    jnp.float32(10.0 ** (stage_i + 1)))
+            slope_i = jnp.float32(10.0 ** (stage_i + 1))
+            if use_fused:
+                mconf, mdone = stage_fn(mconf, mdone, fused_pack_out,
+                                        fused_meta_out, box.lo, box.hi,
+                                        slope_i)
+            else:
+                mconf, mdone = stage_fn(mconf, mdone, lig_batch, rec_d,
+                                        box.lo, box.hi, slope_i)
+            if _prof:
+                jax.block_until_ready(mconf)
+            _tick(f"stage{stage_i}")
+        if _prof:
+            print("[prof] post-stage pos:", np.asarray(mconf.position)[0, :4],
+                  "done:", np.asarray(mdone)[0, :8], flush=True)
         confs, inters, intras, coords = rescore_fn(
             mconf, menergy, lig_batch, rec_d, box.lo, box.hi)
+        if _prof:
+            jax.block_until_ready(coords)
+            print("[prof] inters:", np.asarray(inters)[0, :8], flush=True)
+        _tick("rescore")
         inters = np.asarray(inters)     # (L, num_out)
         intras = np.asarray(intras)
         coords = np.asarray(coords)     # (L, num_out, N, 3)
+        # one wholesale device->host transfer: per-pose np.asarray slices
+        # would each round-trip the accelerator tunnel (~0.25s apiece)
+        confs = jax.tree_util.tree_map(np.asarray, confs)
+        # conf-independent post-processing for every (ligand, pose) in ONE
+        # call: a per-pose _conf_independent would dispatch a device op and
+        # round-trip the tunnel for each pose
+        ci_in = {
+            "num_tors": np.asarray([l.num_tors for l in ligs],
+                                   np.float32)[:, None],
+            "num_heavy_atoms": np.asarray(
+                [l.num_heavy_atoms for l in ligs], np.float32)[:, None],
+            "num_hydrophobic_atoms": np.asarray(
+                [l.num_hydrophobic_atoms for l in ligs], np.float32)[:, None],
+            "ligand_lengths_sum": np.asarray(
+                [l.ligand_length for l in ligs], np.float32)[:, None],
+            "num_ligands": np.full((len(ligs), 1), 1.0, np.float32),
+        }
+        energies = np.asarray(self.sf.conf_independent(
+            ci_in, inters.astype(np.float32)))      # (L, num_out)
+        _tick("fetch")
 
         # batched CNN rescoring across all ligands' valid poses
         all_results: List[List[PoseResult]] = []
@@ -655,7 +800,7 @@ class DockingEngine:
                               for j, i in enumerate(valid_ids)}
             results: List[PoseResult] = []
             for i in valid_ids:
-                e = self._conf_independent(lig, float(inters[li, i]))
+                e = float(energies[li, i])
                 c = coords[li, i][:lig.num_atoms]
                 cnnscore, cnnaff, cnnvar = cnn_scores.get(i, (0.0, 0.0, 0.0))
                 results.append(PoseResult(
@@ -667,11 +812,13 @@ class DockingEngine:
             results = self._sort(results)
             results = self._remove_redundant(results, lig)
             all_results.append(results[: s.num_modes])
+        _tick("assemble")
         return all_results
 
     def _build_dock_program(self, max_layers, chunk_steps, miniters, num_out,
                             cnn_obj, use_cnn_metro, use_cnn_refine,
-                            use_cnn_search, use_grid_search=False):
+                            use_cnn_search, use_grid_search=False,
+                            fused=None, fused_out=None):
         """Three jitted programs: chain init, a bounded MC chunk, and the
         merge+refine finish.  Chunking keeps each device program execution
         short (the single-chip tunnel kills very long executions) and the
@@ -757,20 +904,37 @@ class DockingEngine:
 
             return jax.vmap(one)(lig_batch, keys)
 
-        @jax.jit
-        def chunk_fn(carry, lig_batch, dof_masks, num_tors_b, rigid_b, rec_d,
-                     grids, lo, hi, keys):
-            box = Box(lo=lo, hi=hi)
+        if fused is not None:
+            from gnina_tpu.ops import mc_fused as mcf
 
-            def one(carry_l, lig_d, dof_mask, ntors, rigid, key):
-                fns = energy_fns_for(lig_d, rec_d, box, grids)
-                ks = jax.random.split(key, exhaustiveness)
-                return jax.vmap(lambda c, kk: mc.mc_chunk(
-                    c, kk, chunk_steps, lig_d, fns, mcpar, max_layers,
-                    dof_mask, ntors, rigid))(carry_l, ks)
+            tp_slots = fused.m - 1
 
-            return jax.vmap(one)(carry, lig_batch, dof_masks, num_tors_b,
-                                 rigid_b, keys)
+            @jax.jit
+            def chunk_fn(carry, key, pack, meta, lo, hi):
+                lg, e = carry.e.shape[:2]
+                flat = mcf._flatten_carry(carry)
+                hc = mcpar.hunt_cap
+                scal_h = fused.scal(hc[0], hc[1], slope, 1000.0, lo, hi)
+                scal_f = fused.scal(1000.0, 1000.0, slope, 1000.0, lo, hi)
+                out = mcf.fused_mc_chunk(flat, key, chunk_steps, fused, pack,
+                                         scal_h, scal_f, meta, mcpar,
+                                         tp_slots)
+                return mcf._unflatten_carry(out, lg, e)
+        else:
+            @jax.jit
+            def chunk_fn(carry, lig_batch, dof_masks, num_tors_b, rigid_b,
+                         rec_d, grids, lo, hi, keys):
+                box = Box(lo=lo, hi=hi)
+
+                def one(carry_l, lig_d, dof_mask, ntors, rigid, key):
+                    fns = energy_fns_for(lig_d, rec_d, box, grids)
+                    ks = jax.random.split(key, exhaustiveness)
+                    return jax.vmap(lambda c, kk: mc.mc_chunk(
+                        c, kk, chunk_steps, lig_d, fns, mcpar, max_layers,
+                        dof_mask, ntors, rigid))(carry_l, ks)
+
+                return jax.vmap(one)(carry, lig_batch, dof_masks, num_tors_b,
+                                     rigid_b, keys)
 
         @jax.jit
         def merge_fn(carry, lig_batch):
@@ -793,8 +957,51 @@ class DockingEngine:
             ok = jnp.logical_or(ok, ~lig_d.heavy_mask[:, None])
             return jnp.all(ok)
 
+        stage_fn_fused = None
+        if fused is not None:
+            from gnina_tpu.ops import pallas_dock as pdk2
+
+            @jax.jit
+            def stage_fn_fused(mconf, mdone, pack_out, meta_out, lo, hi,
+                               slope_i):
+                """refine_structure stage through the fused kernel: one lane
+                per (ligand, saved pose), authentic-v BFGS at this stage's
+                box slope (main.cpp:144-158)."""
+                lg, so = mdone.shape
+                lanes = lg * so
+                l_pad = pack_out.lc.shape[-1]
+                flatc = jax.tree_util.tree_map(
+                    lambda a: a.reshape((lanes,) + a.shape[2:]), mconf)
+                rigid, tors = pdk2.conf_to_packed(flatc, fused_out.m)
+                if l_pad > lanes:
+                    rigid = jnp.pad(rigid, ((0, 0), (0, l_pad - lanes)))
+                    tors = jnp.pad(tors, ((0, 0), (0, l_pad - lanes)))
+                cap_v = float(s.forcecap)
+                scal = fused_out.scal(cap_v, cap_v, slope_i, cap_v, lo, hi)
+                org, otr, _stats, coords_h = fused_out(rigid, tors, scal,
+                                                       pack=pack_out)
+                newc = pdk2.packed_to_conf(org[:, :lanes], otr[:, :lanes],
+                                           fused_out.m - 1)
+                # within-box on real heavy atoms (refine_structure's `done`)
+                ch = jnp.transpose(coords_h[..., :lanes], (2, 1, 0))
+                valid = (pack_out.ap[4, :, :lanes] > 0).T      # (lanes, NH)
+                margin = 0.0001
+                ok = ((ch >= lo - margin) & (ch <= hi + margin)).all(-1)
+                new_done = jnp.where(valid, ok, True).all(-1)   # (lanes,)
+                donef = mdone.reshape(lanes)
+
+                def keep(old, new):
+                    dd = donef.reshape((-1,) + (1,) * (new.ndim - 1))
+                    return jnp.where(dd, old, new)
+
+                outc = jax.tree_util.tree_map(keep, flatc, newc)
+                done2 = jnp.logical_or(donef, new_done)
+                outc = jax.tree_util.tree_map(
+                    lambda a: a.reshape((lg, so) + a.shape[1:]), outc)
+                return outc, done2.reshape(lg, so)
+
         @jax.jit
-        def stage_fn(mconf, mdone, lig_batch, rec_d, lo, hi, slope_i):
+        def stage_fn_xla(mconf, mdone, lig_batch, rec_d, lo, hi, slope_i):
             """One slope-escalation stage of refine_structure
             (main.cpp:144-158) over all ligands x saved poses."""
             box = Box(lo=lo, hi=hi)
@@ -857,7 +1064,9 @@ class DockingEngine:
 
             return jax.vmap(one)(mconf, menergy, lig_batch)
 
-        finish_fns = (merge_fn, stage_fn, rescore_fn)
+        finish_fns = (merge_fn,
+                      stage_fn_fused if fused is not None else stage_fn_xla,
+                      rescore_fn)
         return init_fn, chunk_fn, finish_fns
 
     def _cnn_refine(self, cnn_obj, lig_d: LigandData, conf: Conf, box: Box,

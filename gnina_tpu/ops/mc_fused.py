@@ -1,0 +1,219 @@
+"""Monte Carlo chunk driven by the fused Pallas BFGS kernel.
+
+The XLA MC path (ops/mc.py) vmaps a per-chain `lax.scan`, so every MC
+step decomposes into hundreds of small XLA ops whose fixed cost dominates
+on TPU.  Here the step loop runs ONCE at top level over a packed
+(quantity, lane) layout and the whole per-step minimization — FK, exact
+pair energies, analytic gradients, Armijo line search, Hessian updates —
+executes inside a single Mosaic kernel (ops/pallas_dock.py), the TPU
+analogue of the reference's one-kernel GPU minimizer (bfgs.cu:230-345).
+
+Semantics mirror ops/mc.py step for step (mutate_conf / metropolis /
+container bookkeeping reuse the same functions vmapped over the flat lane
+axis), so the two paths are interchangeable; docking.py picks this one
+when the scoring function is in the fused family and the complex is
+ligand-only (monte_carlo.cpp:99-148 is the behavioral reference).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnina_tpu.constants import MAX_FL
+from gnina_tpu.ops import mc
+from gnina_tpu.ops import pallas_dock as pd
+from gnina_tpu.types import Conf
+
+
+class LaneMeta(NamedTuple):
+    """Per-lane static metadata for the flattened (ligand x chain) axis."""
+
+    ntors: jnp.ndarray        # (L,) int32 real torsion count
+    has_rigid: jnp.ndarray    # (L,) bool
+    heavy_idx: jnp.ndarray    # (L, NH) int32 heavy-subset -> full index, -1 pad
+    heavy_mask: jnp.ndarray   # (L, N) bool full-atom heavy mask
+
+
+def lane_meta(ligs, exhaustiveness: int, pack: pd.DockPack,
+              n_full: int) -> LaneMeta:
+    from gnina_tpu.constants import IS_HYDROGEN
+
+    ntors, rigid, hidx, hmask = [], [], [], []
+    nh = pack.heavy_idx.shape[1]
+    for gi, lig in enumerate(ligs):
+        hm = np.zeros(n_full, bool)
+        hm[:lig.num_atoms] = ~IS_HYDROGEN[lig.types]
+        for _ in range(exhaustiveness):
+            ntors.append(lig.num_torsions)
+            rigid.append(lig.has_rigid_dof)
+            hidx.append(pack.heavy_idx[gi])
+            hmask.append(hm)
+    return LaneMeta(ntors=jnp.asarray(ntors, jnp.int32),
+                    has_rigid=jnp.asarray(rigid),
+                    heavy_idx=jnp.asarray(np.stack(hidx), jnp.int32),
+                    heavy_mask=jnp.asarray(np.stack(hmask)))
+
+
+def _flatten_carry(carry: mc.MCCarry) -> mc.MCCarry:
+    """(Lg, E, ...) -> (Lg*E, ...)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((-1,) + a.shape[2:]), carry)
+
+
+def _unflatten_carry(carry: mc.MCCarry, lg: int, e: int) -> mc.MCCarry:
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((lg, e) + a.shape[1:]), carry)
+
+
+def _scatter_full(coords_h, hidx, n_full: int):
+    """Heavy-subset (NH,3) coords -> full-atom (N,3); hydrogens stay 0."""
+    full = jnp.zeros((n_full, 3), jnp.float32)
+    safe = jnp.where(hidx >= 0, hidx, n_full)  # out-of-range -> dropped
+    return full.at[safe].set(coords_h, mode="drop")
+
+
+def fused_mc_chunk(carry: mc.MCCarry, key, num_steps: int,
+                   fused: pd.FusedBfgs, pack: pd.DockPack, scal_hunt,
+                   scal_full, meta: LaneMeta, params: mc.MCParams, tp: int):
+    """Run num_steps MC steps on the flat lane axis (monte_carlo.cpp:99-148).
+
+    carry: MCCarry with flat leading lane axis (L,).
+    fused: hunt-cap + full-v minimizations share one compiled kernel; the
+      v levels ride in the scal operand (scal_hunt / scal_full).
+    pack: traced DockPack arrays (passed through jit so ligand batches
+      sharing one shape bucket reuse the compiled program).
+    tp: torsion slot count of the Conf pytrees.
+    """
+    lanes = carry.e.shape[0]
+    l_pad = pack.lc.shape[-1]
+    m = fused.m
+    n_full = carry.coords.shape[-2]
+
+    def pack_conf(conf):
+        rigid, tors = pd.conf_to_packed(conf, m)
+        if l_pad > lanes:
+            rigid = jnp.pad(rigid, ((0, 0), (0, l_pad - lanes)))
+            tors = jnp.pad(tors, ((0, 0), (0, l_pad - lanes)))
+        return rigid, tors
+
+    def unpack_conf(rigid, tors):
+        return pd.packed_to_conf(rigid[:, :lanes], tors[:, :lanes], tp)
+
+    def minimize(conf, scal):
+        """One fused kernel call: returns (conf', metro_e, full_coords)."""
+        rigid, tors = pack_conf(conf)
+        org, otr, stats, coords_h = fused(rigid, tors, scal, pack=pack)
+        conf2 = unpack_conf(org, otr)
+        metro_e = stats[1, :lanes]
+        ch = jnp.transpose(coords_h[..., :lanes], (2, 1, 0))  # (L, NH, 3)
+        full = jax.vmap(_scatter_full, in_axes=(0, 0, None))(
+            ch, meta.heavy_idx, n_full)
+        return conf2, metro_e, full
+
+    v_add = jax.vmap(mc.add_to_container, in_axes=(0, 0, 0, 0, 0, None))
+
+    def step(carry: mc.MCCarry, xs):
+        k, i = xs
+        k1, k2 = jax.random.split(k)
+        kmut = jax.vmap(lambda j: jax.random.fold_in(k1, j))(
+            jnp.arange(lanes))
+        kmet = jax.vmap(lambda j: jax.random.fold_in(k2, j))(
+            jnp.arange(lanes))
+
+        gr = jax.vmap(mc.gyration_radius)(
+            carry.coords, carry.conf.position, meta.heavy_mask)
+        cand = jax.vmap(mc.mutate_conf,
+                        in_axes=(0, 0, 0, None, 0, 0))(
+            kmut, carry.conf, gr, params.mutation_amplitude,
+            meta.ntors, meta.has_rigid)
+
+        cand, cand_e, cand_coords = minimize(cand, scal_hunt)
+
+        accept = jax.vmap(mc.metropolis_accept, in_axes=(0, 0, 0, None))(
+            kmet, carry.e, cand_e, params.temperature)
+        accept = jnp.logical_or(accept, carry.e >= MAX_FL)
+
+        def sel(a, b):
+            acc = accept.reshape((-1,) + (1,) * (a.ndim - 1))
+            return jnp.where(acc, a, b)
+
+        new_conf = jax.tree_util.tree_map(sel, cand, carry.conf)
+        new_e = jnp.where(accept, cand_e, carry.e)
+        new_coords = sel(cand_coords, carry.coords)
+
+        has_empty = jnp.any(carry.cont.energy >= MAX_FL, axis=-1)
+        promising = jnp.logical_and(
+            accept, jnp.logical_or(cand_e < carry.best_e, has_empty))
+
+        cont_new = v_add(carry.cont, new_conf, new_e, new_coords,
+                         meta.heavy_mask, params.min_rmsd)
+
+        def psel(a, b):
+            p = promising.reshape((-1,) + (1,) * (a.ndim - 1))
+            return jnp.where(p, a, b)
+
+        cont = jax.tree_util.tree_map(psel, cont_new, carry.cont)
+        best_e = jnp.where(jnp.logical_and(promising, new_e < carry.best_e),
+                           new_e, carry.best_e)
+        pending = jax.tree_util.tree_map(psel, new_conf, carry.pending)
+        pending_valid = jnp.logical_or(carry.pending_valid, promising)
+        pending_is_current = jnp.where(
+            promising, True,
+            jnp.logical_and(carry.pending_is_current, ~accept))
+
+        return mc.MCCarry(conf=new_conf, e=new_e, best_e=best_e, cont=cont,
+                          coords=new_coords, pending=pending,
+                          pending_valid=pending_valid,
+                          pending_is_current=pending_is_current), None
+
+    def refine_phase(carry: mc.MCCarry) -> mc.MCCarry:
+        """Full-v refinement of pending promising poses (the in-loop
+        quasi_newton at authentic_v, monte_carlo.cpp:128)."""
+        rconf, re, rcoords = minimize(carry.pending, scal_full)
+        do = carry.pending_valid
+
+        cont_new = v_add(carry.cont, rconf, re, rcoords,
+                         meta.heavy_mask, params.min_rmsd)
+
+        def dsel(a, b):
+            d = do.reshape((-1,) + (1,) * (a.ndim - 1))
+            return jnp.where(d, a, b)
+
+        cont = jax.tree_util.tree_map(dsel, cont_new, carry.cont)
+        best_e = jnp.where(jnp.logical_and(do, re < carry.best_e), re,
+                           carry.best_e)
+        move = jnp.logical_and(do, carry.pending_is_current)
+
+        def msel(a, b):
+            mm = move.reshape((-1,) + (1,) * (a.ndim - 1))
+            return jnp.where(mm, a, b)
+
+        conf = jax.tree_util.tree_map(msel, rconf, carry.conf)
+        e = jnp.where(move, re, carry.e)
+        coords = msel(rcoords, carry.coords)
+        return mc.MCCarry(conf=conf, e=e, best_e=best_e, cont=cont,
+                          coords=coords, pending=carry.pending,
+                          pending_valid=jnp.zeros_like(carry.pending_valid),
+                          pending_is_current=jnp.zeros_like(
+                              carry.pending_is_current))
+
+    stride = params.refine_stride
+    keys = jax.random.split(key, num_steps)
+    idx = jnp.arange(num_steps, dtype=jnp.int32)
+
+    if stride and stride > 0 and num_steps >= stride:
+        def step_maybe_refine(carry, xs):
+            k, i = xs
+            carry, _ = step(carry, (k, i))
+            do_refine = (i % stride) == (stride - 1)
+            carry = jax.lax.cond(do_refine, refine_phase, lambda c: c, carry)
+            return carry, None
+
+        final, _ = jax.lax.scan(step_maybe_refine, carry, (keys, idx))
+    else:
+        final, _ = jax.lax.scan(step, carry, (keys, idx))
+    return final

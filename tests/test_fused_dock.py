@@ -1,0 +1,68 @@
+"""End-to-end fused-Pallas docking path (docking.py + ops/mc_fused.py).
+
+Runs the real dock_batch pipeline with fused_search="on" in Pallas
+interpret mode on CPU: MC chunk scan -> fused BFGS kernel per step ->
+metropolis/container -> merge/refine/rescore.  Tiny step counts keep the
+interpret-mode cost bounded; the assertions check pipeline integrity
+(poses produced, energies physical, within-box) rather than search depth.
+"""
+
+import numpy as np
+import pytest
+
+from gnina_tpu.chem import ingest, sdf
+from gnina_tpu.chem.tree_build import build_tree_from_molecule
+from gnina_tpu.docking import DockingEngine, DockSettings
+
+DATA = "/root/reference/test/gnina/data"
+
+pytestmark = pytest.mark.slow
+
+
+def test_fused_dock_end_to_end():
+    rec = ingest.Receptor.from_file(f"{DATA}/10gs_rec.pdb")
+    mol = list(sdf.iter_sdf(f"{DATA}/10gs_lig.sdf"))[0]
+    lig = build_tree_from_molecule(mol)
+    center, size = ingest.autobox_ligand(f"{DATA}/10gs_lig.sdf")
+    eng = DockingEngine(DockSettings(
+        cnn_scoring="none", seed=3, num_mc_steps=4, exhaustiveness=2,
+        fused_search="on", minimize_iters=3, refine_stride=2))
+    results = eng.dock_batch(rec, [lig, lig], center, size, seed=3)
+    assert len(results) == 2
+    lo = np.asarray(center) - np.asarray(size) / 2 - 1.0
+    hi = np.asarray(center) + np.asarray(size) / 2 + 1.0
+    for rr in results:
+        assert rr, "no poses returned"
+        for r in rr:
+            assert np.isfinite(r.energy) and r.energy < 100.0
+        # best pose heavy atoms inside the (slightly padded) box
+        from gnina_tpu.constants import IS_HYDROGEN
+
+        heavy = ~IS_HYDROGEN[lig.types]
+        c = rr[0].coords[heavy]
+        assert (c >= lo).all() and (c <= hi).all()
+
+
+def test_fused_eligibility_gating():
+    """Flex/covalent/non-vina jobs must fall back to the XLA path."""
+    eng = DockingEngine(DockSettings(fused_search="on", cnn_scoring="none"))
+    mol = list(sdf.iter_sdf(f"{DATA}/10gs_lig.sdf"))[0]
+    lig = build_tree_from_molecule(mol)
+    assert eng._fused_eligible([lig])
+
+    # flex-marked ligand: ineligible
+    import dataclasses
+
+    flexed = dataclasses.replace(lig, num_lig_atoms=lig.num_atoms - 2)
+    assert not eng._fused_eligible([flexed])
+
+    # ad4-style scoring (electrostatics) is outside the fused family
+    from gnina_tpu.scoring.builtin import get_scoring_function
+
+    eng2 = DockingEngine(DockSettings(fused_search="on", scoring="ad4_scoring",
+                                      cnn_scoring="none"),
+                         sf=get_scoring_function("ad4_scoring"))
+    assert not eng2._fused_eligible([lig])
+
+    eng3 = DockingEngine(DockSettings(fused_search="off", cnn_scoring="none"))
+    assert not eng3._fused_eligible([lig])

@@ -1,0 +1,173 @@
+"""Parity tests for the fused Pallas BFGS kernel vs the XLA reference path.
+
+Runs in Pallas interpret mode on CPU (conftest forces JAX_PLATFORMS=cpu),
+so the kernel's math — FK, exact pair terms, analytic force->DOF reverse
+pass, line search, Hessian update — is checked against the autodiff XLA
+implementation it replaces (ops/energy.py + ops/bfgs.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gnina_tpu.chem import ingest, sdf
+from gnina_tpu.chem.tree_build import build_tree_from_molecule
+from gnina_tpu.docking import DockingEngine, DockSettings
+from gnina_tpu.ops import fk, mc
+from gnina_tpu.ops import pallas_dock as pd
+from gnina_tpu.ops.bfgs import MinimizeParams, bfgs
+from gnina_tpu.ops.energy import Box, make_energy_fn
+from gnina_tpu.types import Conf
+
+DATA = "/root/reference/test/gnina/data"
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def system():
+    rec = ingest.Receptor.from_file(f"{DATA}/10gs_rec.pdb")
+    mol = list(sdf.iter_sdf(f"{DATA}/10gs_lig.sdf"))[0]
+    lig = build_tree_from_molecule(mol)
+    center, size = ingest.autobox_ligand(f"{DATA}/10gs_lig.sdf")
+    eng = DockingEngine(DockSettings(cnn_scoring="none"))
+    lig_d, rec_d, box, max_layers, _n = eng._prepare(rec, lig, center, size)
+    pack = pd.build_pack([lig], np.asarray(rec_d.coords),
+                         np.asarray(rec_d.types), np.asarray(rec_d.charges),
+                         np.asarray(rec_d.mask), exhaustiveness=8,
+                         table=eng.sf.table)
+    efn = eng._make_efn(max_layers)
+    return eng, lig, lig_d, rec_d, box, max_layers, pack, efn
+
+
+def random_confs(lig_d, box, n_lanes, seed=0):
+    t = lig_d.num_torsion_slots
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_lanes)
+    return jax.vmap(lambda k: mc.randomize_conf(
+        k, lig_d, box.lo, box.hi, t))(keys)
+
+
+def _xla_objective(efn, lig_d, rec_d, box, v):
+    slope = 1e3
+
+    def f(conf):
+        return efn.eval_deriv(lig_d, rec_d, conf, box, slope, v)
+
+    def fv(conf):
+        return efn.eval_energy(lig_d, rec_d, conf, box, slope, v)
+
+    return f, fv
+
+
+def run_kernel(eng, pack, box, confs, maxiters, lanes):
+    fused = pd.FusedBfgs(eng.sf, pack, maxiters=maxiters, want_metro=True,
+                         interpret=True)
+    rigid, tors = pd.conf_to_packed(confs, fused.m)
+    # pad lanes to the pack width
+    l_pad = pack.lc.shape[-1]
+    rigid = jnp.pad(rigid, ((0, 0), (0, l_pad - lanes)))
+    tors = jnp.pad(tors, ((0, 0), (0, l_pad - lanes)))
+    scal = fused.scal(10.0, 10.0, 1e3, 1000.0, box.lo, box.hi)
+    out_rigid, out_tors, stats, coords = fused(rigid, tors, scal)
+    return (out_rigid[:, :lanes], out_tors[:, :lanes],
+            stats[:, :lanes], coords[..., :lanes])
+
+
+def test_energy_parity(system):
+    """maxiters=0: kernel f0 equals the XLA exact energy at hunt-cap v."""
+    eng, lig, lig_d, rec_d, box, max_layers, pack, efn = system
+    lanes = 8
+    confs = random_confs(lig_d, box, lanes)
+    v = jnp.array([10.0, 10.0, 10.0], jnp.float32)
+    f, fv = _xla_objective(efn, lig_d, rec_d, box, v)
+    e_ref = jax.vmap(fv)(confs)
+
+    _, _, stats, coords = run_kernel(eng, pack, box, confs, 0, lanes)
+    np.testing.assert_allclose(np.asarray(stats[0]), np.asarray(e_ref),
+                               rtol=2e-4, atol=2e-3)
+
+    # metro energy = inter-only at authentic v (stats row 1)
+    metro_ref = jax.vmap(lambda c: efn.eval_inter(
+        lig_d, rec_d, c, box, 1e3, jnp.float32(1000.0)))(confs)
+    np.testing.assert_allclose(np.asarray(stats[1]), np.asarray(metro_ref),
+                               rtol=2e-4, atol=2e-3)
+
+    # coords match FK on the heavy subset
+    ref_coords = jax.vmap(lambda c: fk.fk_coords(lig_d, c, max_layers))(confs)
+    hidx = pack.heavy_idx[0]
+    nh = int((hidx >= 0).sum())
+    ref_h = np.asarray(ref_coords)[:, hidx[:nh], :]      # (L, nh, 3)
+    got = np.transpose(np.asarray(coords), (2, 1, 0))[:, :nh, :]
+    np.testing.assert_allclose(got, ref_h, atol=1e-4)
+
+
+def test_bfgs_parity_one_iter(system):
+    """maxiters=1 final energies match the XLA bfgs (gradient + line search
+    + restore semantics all exercised)."""
+    eng, lig, lig_d, rec_d, box, max_layers, pack, efn = system
+    lanes = 8
+    confs = random_confs(lig_d, box, lanes, seed=1)
+    v = jnp.array([10.0, 10.0, 10.0], jnp.float32)
+    f, fv = _xla_objective(efn, lig_d, rec_d, box, v)
+    t = lig_d.num_torsion_slots
+    dof_mask = jnp.arange(6 + t) < 6 + lig.num_torsions
+    minpar = MinimizeParams(maxiters=1, type="fast", fused_trials=False)
+    res = jax.vmap(lambda c: bfgs(f, c, minpar, dof_mask, f_val=fv))(confs)
+
+    out_rigid, out_tors, stats, _ = run_kernel(eng, pack, box, confs, 1,
+                                               lanes)
+    np.testing.assert_allclose(np.asarray(stats[0]), np.asarray(res.f0),
+                               rtol=5e-4, atol=5e-3)
+    got = pd.packed_to_conf(out_rigid, out_tors, lig.num_torsions)
+    np.testing.assert_allclose(np.asarray(got.position),
+                               np.asarray(res.x.position)[:, :3],
+                               atol=2e-3)
+
+
+def perturbed_confs(lig, lig_d, n_lanes, seed=2):
+    """Small jitters of the crystal pose: energies in the physical range,
+    where minimization trajectories are comparable across backends (from
+    random clash poses at e~1e4 the f32 trajectories diverge chaotically)."""
+    from gnina_tpu.types import initial_conf
+
+    t = lig_d.num_torsion_slots
+    base = initial_conf(lig, t)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    pos = base.position + 0.5 * jax.random.normal(k1, (n_lanes, 3))
+    import gnina_tpu.ops.quat as Q
+
+    rot = 0.2 * jax.random.normal(k2, (n_lanes, 3))
+    quat = jax.vmap(lambda r: Q.quaternion_increment(base.orientation, r))(rot)
+    tors = base.torsions + 0.3 * jax.random.normal(k3, (n_lanes, t))
+    return Conf(position=pos.astype(jnp.float32),
+                orientation=quat.astype(jnp.float32),
+                torsions=tors.astype(jnp.float32))
+
+
+def test_bfgs_multi_iter_parity_and_descent(system):
+    """3-iteration trajectories still track the XLA bfgs closely (~1e-2;
+    beyond that f32 line-search accept flips make the chaotic trajectories
+    formally incomparable — measured divergence starts at iter 4-5), and a
+    deeper 8-iteration run is monotone non-ascending from the start point."""
+    eng, lig, lig_d, rec_d, box, max_layers, pack, efn = system
+    lanes = 8
+    confs = perturbed_confs(lig, lig_d, lanes)
+    v = jnp.array([10.0, 10.0, 10.0], jnp.float32)
+    f, fv = _xla_objective(efn, lig_d, rec_d, box, v)
+    e0 = jax.vmap(fv)(confs)
+
+    t = lig_d.num_torsion_slots
+    dof_mask = jnp.arange(6 + t) < 6 + lig.num_torsions
+    minpar = MinimizeParams(maxiters=3, type="fast", fused_trials=False)
+    res = jax.vmap(lambda c: bfgs(f, c, minpar, dof_mask, f_val=fv))(confs)
+
+    _, _, stats3, _ = run_kernel(eng, pack, box, confs, 3, lanes)
+    np.testing.assert_allclose(np.asarray(stats3[0]), np.asarray(res.f0),
+                               rtol=1e-2, atol=5e-2)
+
+    _, _, stats8, _ = run_kernel(eng, pack, box, confs, 8, lanes)
+    e_kernel = np.asarray(stats8[0])
+    assert (e_kernel <= np.asarray(e0) + 1e-3).all()
+    assert (e_kernel <= np.asarray(stats3[0]) + 1e-3).all()
