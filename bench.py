@@ -17,6 +17,12 @@ import time
 
 V100_LIGANDS_PER_SEC = 0.033
 
+# persistent XLA compile cache: the metric is steady-state throughput, so
+# don't re-pay multi-minute single-core compiles on every bench invocation
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 
 def main():
     import numpy as np
@@ -37,7 +43,9 @@ def main():
     steps = int(os.environ.get("GNINA_TPU_BENCH_STEPS", "1024"))
     eng = DockingEngine(DockSettings(cnn_scoring="none", seed=42,
                                      num_mc_steps=steps))
-    batch = int(os.environ.get("GNINA_TPU_BENCH_BATCH", "8"))
+    # 16 ligands x exhaustiveness 8 = 128 chains: exactly one lane block of
+    # the fused Pallas kernel (ops/pallas_dock.py LB)
+    batch = int(os.environ.get("GNINA_TPU_BENCH_BATCH", "16"))
     ligs = [lig] * batch
 
     # warm-up / compile
