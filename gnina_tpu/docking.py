@@ -146,7 +146,7 @@ class DockingEngine:
         n = _round_up(lig.num_atoms, 8)
         m = _round_up(lig.num_nodes, 4)
         p = _round_up(max(len(lig.pairs), 1), 32)
-        k = _round_up(rec_n, 256)
+        k = _round_up(rec_n, 128)
         return n, m, p, k
 
     def _prepare(self, rec: Receptor, lig: LigandStruct,
@@ -479,7 +479,7 @@ class DockingEngine:
                                    for l in ligs), 4)
         pruned = rec.pruned(np.asarray(center), np.asarray(size) / 2,
                             margin=self.sf.cutoff)
-        k = _round_up(len(pruned.types), 256)
+        k = _round_up(len(pruned.types), 128)
         rec_d = pad_receptor(pruned.coords, pruned.types, pruned.charges, k)
         lo, hi = box_from_center_size(center, size)
         box = Box(lo=jnp.asarray(lo), hi=jnp.asarray(hi))

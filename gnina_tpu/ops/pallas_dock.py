@@ -53,7 +53,8 @@ from gnina_tpu.scoring import terms as T
 from gnina_tpu.scoring.weighted import ScoringFunction
 
 LB = 128          # lanes per kernel block
-KB = 256          # receptor atoms per inner tile
+KB = 128          # receptor atoms per inner tile (k pads to a KB multiple;
+                  # 128 keeps padding waste ~5% on typical pocket sizes)
 NUM_TRIALS = 10   # Armijo halvings (bfgs.h:73-91)
 C0 = 1e-4
 
