@@ -62,9 +62,11 @@ def test_gninagrid_binmap(tmp_path):
     rc = ggmain(["-r", f"{DATA}/noelem_rec.pdb", "-l", f"{DATA}/noelem.sdf",
                  "-o", out, "--dimension", "11.5"])
     assert rc == 0
-    path = out + "_0.binmap"
-    assert os.path.exists(path)
+    # reference naming: {out}_{i}.{npts}.{nchannels}.binmap
+    # (gninagrid.cpp output convention; 14 rec + 14 lig default channels)
     n = int(round(11.5 / 0.5)) + 1
+    path = f"{out}_0.{n}.28.binmap"
+    assert os.path.exists(path), os.listdir(os.path.dirname(out))
     grid = np.fromfile(path, np.float32).reshape(28, n, n, n)
     assert grid.max() > 0.5  # atoms present
     assert grid.min() >= -1e-5  # tiny negatives at the quadratic tail edge
