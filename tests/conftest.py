@@ -1,10 +1,17 @@
 import os
 
-# In plain environments (the driver's test runner) force a virtual 8-device
-# CPU mesh so sharding logic is exercised without TPU hardware.  Under the
-# axon TPU plugin (sitecustomize keyed on PALLAS_AXON_POOL_IPS) these are
-# ignored and tests run on the real chip — which is fine for numerics.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force a virtual 8-device CPU mesh so sharding logic is exercised without
+# TPU hardware.  The axon TPU plugin (sitecustomize keyed on
+# PALLAS_AXON_POOL_IPS) is explicitly DISABLED for tests: its remote-compile
+# helper is ~20x slower per compile than local CPU XLA (measured: the 3-test
+# docking subset takes 34 s on clean CPU vs >590 s through the tunnel), and
+# the suite is compile-bound on this 1-core host.  Numerics are
+# backend-independent; the real chip is exercised by bench.py and the CLI
+# verification flows instead.
+# The ambient environment exports JAX_PLATFORMS=axon, so this must be a
+# hard override (a setdefault silently left the whole suite running — and
+# remote-compiling — through the TPU tunnel, ~20x slower per compile).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
