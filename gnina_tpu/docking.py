@@ -66,6 +66,11 @@ class DockSettings:
     # "on" forces it (interpret mode off-TPU: slow, tests only); "off"
     # always uses the XLA path.
     fused_search: str = "auto"
+    # Stop each lockstep BFGS once this fraction of the 128 lanes has
+    # converged (1.0 = reference-exact: run until every lane converges or
+    # maxiters).  Straggler lanes are almost always deep clashes whose
+    # poses metropolis rejects; see ROADMAP "Performance plan".
+    fused_done_frac: float = 1.0
 
 
 @dataclasses.dataclass
@@ -650,7 +655,7 @@ class DockingEngine:
             fdims = pdk._static_dims(fused_pack)
             n_hvy = int((fused_pack.heavy_idx >= 0).sum(axis=1).max())
             prog_key = ("fused", fdims, n_hvy, chunk, miniters,
-                        s.exhaustiveness, num_out)
+                        s.exhaustiveness, num_out, s.fused_done_frac)
         else:
             chunk = min(num_steps, max(32, base_chunk * 64 // max(lanes, 64)))
             fdims = None
@@ -662,10 +667,12 @@ class DockingEngine:
             fused = fused_out = None
             if use_fused:
                 fused = pdk.FusedBfgs(self.sf, fused_pack, maxiters=miniters,
-                                      want_metro=True, n_iter=n_hvy)
+                                      want_metro=True, n_iter=n_hvy,
+                                      done_frac=s.fused_done_frac)
                 fused_out = pdk.FusedBfgs(self.sf, fused_pack_out,
                                           maxiters=miniters,
-                                          want_metro=False, n_iter=n_hvy)
+                                          want_metro=False, n_iter=n_hvy,
+                                          done_frac=s.fused_done_frac)
             progs = self._build_dock_program(
                 max_layers, chunk, miniters, num_out, cnn_obj,
                 use_cnn_metro, use_cnn_refine, use_cnn_search,

@@ -262,7 +262,7 @@ def _rotvec_quat(rx, ry, rz):
 def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                      l_total: int, maxiters: int, want_metro: bool,
                      interpret: bool = False, debug_grad: bool = False,
-                     n_iter: int = 0):
+                     n_iter: int = 0, done_frac: float = 1.0):
     """Build the fused-BFGS callable.
 
     Returns fn(rigid0 (8,L), tors0 (M,L), scal (12,1), pack arrays...) ->
@@ -646,10 +646,17 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                 acc = acc + h[:, e_, :] * g[e_:e_ + 1, :]
             return acc
 
+        # done_frac < 1 stops the lockstep loop once that fraction of
+        # lanes has converged: the straggler lanes (usually deep clashes
+        # that metropolis rejects anyway) stop dominating every step's
+        # wall clock.  The reference's per-pose convergence break
+        # (bfgs.h gradient tolerance) has the same effect thread-locally.
+        done_target = float(int(done_frac * LB))
+
         def bfgs_cond(st):
             it, rigid, tors, g, h, f0, donef = st
             return jnp.logical_and(it < maxiters,
-                                   jnp.sum(donef) < float(LB))
+                                   jnp.sum(donef) < done_target)
 
         def bfgs_body(st):
             it, rigid, tors, g, h, f0, donef = st
@@ -882,7 +889,8 @@ class FusedBfgs:
 
     def __init__(self, sf: ScoringFunction, pack: DockPack, maxiters: int,
                  want_metro: bool = True, interpret: Optional[bool] = None,
-                 debug_grad: bool = False, n_iter: int = 0):
+                 debug_grad: bool = False, n_iter: int = 0,
+                 done_frac: float = 1.0):
         terms = extract_vina_terms(sf)
         if terms is None:
             raise ValueError("scoring function outside the fused family")
@@ -894,7 +902,8 @@ class FusedBfgs:
             interpret = jax.default_backend() == "cpu"
         self.fn = make_bfgs_kernel(terms, n, m, ly, k, l, maxiters,
                                    want_metro, interpret=interpret,
-                                   debug_grad=debug_grad, n_iter=n_iter)
+                                   debug_grad=debug_grad, n_iter=n_iter,
+                                   done_frac=done_frac)
 
     def scal(self, v_intra, v_inter, slope, v_metro, lo, hi):
         return jnp.concatenate([
