@@ -265,6 +265,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     engine = DockingEngine(settings, sf=sf, cnn_scorer=cnn,
                            user_grid=user_grid)
+    if args.verbosity >= 2:
+        # MC search progress (the reference's parallel_progress bar)
+        engine.progress = lambda msg: log.write(msg + "\n")
     rec = ingest.Receptor.from_file(args.receptor)
 
     # covalent docking context (reference: covinfo.cpp, molgetter.cpp:105+)

@@ -141,6 +141,9 @@ class DockingEngine:
         self.cnn = cnn_scorer
         self.user_grid = user_grid  # ops.user_grid.UserGrid bias (--user_grid)
         self._programs = {}  # jitted dock programs keyed by static config
+        # optional search progress sink (the reference's parallel_progress
+        # bar, parallel_progress.h); the CLI wires this at --verbosity >= 2
+        self.progress = None  # Callable[[str], None] | None
 
     def _make_efn(self, max_layers: int):
         return make_energy_fn(self.sf, max_layers, user_grid=self.user_grid)
@@ -737,6 +740,10 @@ class DockingEngine:
                                  rigid_b, rec_d, grids, box.lo, box.hi, ckeys)
             done += chunk
             ci += 1
+            if self.progress is not None:
+                self.progress(
+                    f"MC {min(done, num_steps)}/{num_steps} steps "
+                    f"({len(ligs)} ligand(s) x {s.exhaustiveness} chains)")
             if _prof:
                 jax.block_until_ready(carry)
             _tick(f"chunk{ci}")
