@@ -9,6 +9,7 @@ meaningless on TPU.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from typing import List, Optional
@@ -113,6 +114,8 @@ def build_parser() -> argparse.ArgumentParser:
     gcnn.add_argument("--cnn_verbose", action="store_true")
 
     gmisc = p.add_argument_group("Misc")
+    gmisc.add_argument("--resume", action="store_true",
+                       help="resume an interrupted screen from {out}.partial")
     gmisc.add_argument("--no_lig", action="store_true",
                        help="no ligand; score/minimize flex residues only")
     gmisc.add_argument("--custom_atoms", help="custom atom parameter file")
@@ -494,11 +497,37 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
     n_dev = mesh.shape["dp"] if mesh is not None else 1
     batch_size = max(8, 8 * n_dev)
     order = {id(l): i for i, l in enumerate(all_ligs)}
+
+    # crash recovery (SURVEY section 5 checkpoint/resume): finished
+    # ligands stream to {out}.partial as framed SDF chunks; --resume
+    # reloads them and docks only the remainder.  The reference has no
+    # docking checkpointing — a killed screen restarts from zero.
+    results_by_idx = {}
+    partial_path = (args.out + ".partial") if args.out else None
+    resumed = set()
+    if getattr(args, "resume", False) and partial_path and \
+            os.path.exists(partial_path):
+        with open(partial_path) as f:
+            text = f.read()
+        for block in text.split("#GNINA_TPU_IDX ")[1:]:
+            head, _, body = block.partition("\n")
+            try:
+                idx = int(head.split()[0])
+            except (ValueError, IndexError):
+                continue
+            if 0 <= idx < len(all_ligs):
+                results_by_idx[idx] = ("text", all_ligs[idx].name, body)
+                resumed.add(idx)
+        if resumed:
+            log.write(f"Resuming: {len(resumed)} of {len(all_ligs)} "
+                      "ligand(s) already docked\n")
+    part_f = open(partial_path, "a") if partial_path else None
+
     buckets = {}
     for lig in all_ligs:
-        buckets.setdefault(bucket_key(lig), []).append(lig)
+        if order[id(lig)] not in resumed:
+            buckets.setdefault(bucket_key(lig), []).append(lig)
 
-    results_by_idx = {}
     for key, blist in buckets.items():
         for i in range(0, len(blist), batch_size):
             chunk = blist[i:i + batch_size]
@@ -526,12 +555,26 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
                                   f"{e1}\n")
                         res_b.append([])
             for lig, res in zip(chunk, res_b):
-                results_by_idx[order[id(lig)]] = (lig, res)
+                idx = order[id(lig)]
+                results_by_idx[idx] = ("res", lig, res)
+                if part_f is not None:
+                    sdf_text = write_poses_sdf(lig, res, cnn_enabled)
+                    part_f.write(f"#GNINA_TPU_IDX {idx} {lig.name}\n")
+                    part_f.write(sdf_text)
+                    part_f.flush()
+
+    if part_f is not None:
+        part_f.close()
 
     out_chunks = []
     out_flex_chunks = []
     for i in range(len(all_ligs)):
-        lig, results = results_by_idx[i]
+        kind, a, b = results_by_idx[i]
+        if kind == "text":
+            log.write(f"\n## {a} (resumed)\n")
+            out_chunks.append(b)
+            continue
+        lig, results = a, b
         log.write(f"\n## {lig.name}\n")
         log.write("mode |  affinity  |  intramol  |    CNN     |   CNN\n")
         log.write("     | (kcal/mol) | (kcal/mol) | pose score | affinity\n")
@@ -546,6 +589,8 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
     if args.out:
         with open(args.out, "w") as f:
             f.write("".join(out_chunks))
+        if partial_path and os.path.exists(partial_path):
+            os.remove(partial_path)  # the final ordered output supersedes it
     if args.out_flex:
         with open(args.out_flex, "w") as f:
             f.write("".join(out_flex_chunks))

@@ -51,3 +51,36 @@ def test_cli_config_file(tmp_path):
     rc = main(["--config", str(cfg), "--log", log, "-q"])
     assert rc == 0
     assert "Affinity:" in open(log).read()
+
+
+def test_cli_screen_resume(tmp_path):
+    """--resume: a prepared {out}.partial skips finished ligands and the
+    final SDF still contains every ligand in input order."""
+    from gnina_tpu.chem import sdf as sdfmod
+
+    D = "/root/reference/test/gnina/data"
+    two = tmp_path / "two.sdf"
+    two.write_text(open(f"{D}/noelem.sdf").read()
+                   + open(f"{D}/noelem.sdf").read())
+    out = tmp_path / "out.sdf"
+
+    # fabricate a partial with ligand 0 "already docked"
+    fake_pose = open(f"{D}/noelem.sdf").read()
+    if not fake_pose.endswith("$$$$\n"):
+        fake_pose += "$$$$\n"
+    (tmp_path / "out.sdf.partial").write_text(
+        "#GNINA_TPU_IDX 0 CHEMBL371307_PLANTS_09\n" + fake_pose)
+
+    rc = main(["-r", f"{D}/noelem_rec.pdb", "-l", str(two),
+               "--autobox_ligand", f"{D}/noelem.sdf",
+               "--cnn_scoring", "none", "--num_mc_steps", "4",
+               "--exhaustiveness", "2", "--num_mc_saved", "2",
+               "--num_modes", "1", "--seed", "5", "--resume",
+               "-o", str(out)])
+    assert rc == 0
+    text = out.read_text()
+    # ligand 0 came from the partial verbatim; ligand 1 was docked
+    assert text.startswith(fake_pose[:200])
+    assert text.count("$$$$") >= 2
+    # partial is consumed on successful completion
+    assert not (tmp_path / "out.sdf.partial").exists()
