@@ -45,7 +45,11 @@ class DockSettings:
     seed: int = 0
     num_mc_steps: int = 0          # 0 -> heuristic
     max_mc_steps: int = 0
-    refine_stride: int = 4         # full-v refinement cadence (mc.MCParams)
+    refine_stride: int = 8         # full-v refinement cadence (mc.MCParams);
+                                   # every-8-steps-all-lanes is still MORE
+                                   # refinement than the reference's rare
+                                   # promising-step cadence; A/B at 1024
+                                   # steps: equal pose quality, ~9% faster
     # value+grad at all 10 Armijo trials at once.  OFF by default: with the
     # cell-row gather layout the 10 forward trials cost ~1 eval, so paying
     # 10 full gradients per iteration is a net loss (measured on v5e).
