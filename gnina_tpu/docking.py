@@ -75,6 +75,10 @@ class DockSettings:
     # maxiters).  Straggler lanes are almost always deep clashes whose
     # poses metropolis rejects; see ROADMAP "Performance plan".
     fused_done_frac: float = 1.0
+    # Run the whole MC step loop (mutate + BFGS + metropolis, TPU PRNG)
+    # inside the Mosaic kernel, refine_stride steps per invocation; the
+    # host only does container bookkeeping on the streamed candidates.
+    fused_mc_in_kernel: bool = False
 
 
 @dataclasses.dataclass
@@ -662,7 +666,8 @@ class DockingEngine:
             fdims = pdk._static_dims(fused_pack)
             n_hvy = int((fused_pack.heavy_idx >= 0).sum(axis=1).max())
             prog_key = ("fused", fdims, n_hvy, chunk, miniters,
-                        s.exhaustiveness, num_out, s.fused_done_frac)
+                        s.exhaustiveness, num_out, s.fused_done_frac,
+                        s.fused_mc_in_kernel)
         else:
             chunk = min(num_steps, max(32, base_chunk * 64 // max(lanes, 64)))
             fdims = None
@@ -671,7 +676,7 @@ class DockingEngine:
         if cnn_obj is None and prog_key in self._programs:
             progs = self._programs[prog_key]
         else:
-            fused = fused_out = None
+            fused = fused_out = fused_mc = None
             if use_fused:
                 fused = pdk.FusedBfgs(self.sf, fused_pack, maxiters=miniters,
                                       want_metro=True, n_iter=n_hvy,
@@ -680,10 +685,17 @@ class DockingEngine:
                                           maxiters=miniters,
                                           want_metro=False, n_iter=n_hvy,
                                           done_frac=s.fused_done_frac)
+                if s.fused_mc_in_kernel:
+                    mcs = max(int(s.refine_stride) or 8, 1)
+                    fused_mc = pdk.FusedBfgs(
+                        self.sf, fused_pack, maxiters=miniters,
+                        want_metro=True, n_iter=n_hvy,
+                        done_frac=s.fused_done_frac, mc_steps=mcs)
             progs = self._build_dock_program(
                 max_layers, chunk, miniters, num_out, cnn_obj,
                 use_cnn_metro, use_cnn_refine, use_cnn_search,
-                use_grid_search, fused=fused, fused_out=fused_out)
+                use_grid_search, fused=fused, fused_out=fused_out,
+                fused_mc=fused_mc)
             if cnn_obj is None:
                 self._programs[prog_key] = progs
 
@@ -836,7 +848,7 @@ class DockingEngine:
     def _build_dock_program(self, max_layers, chunk_steps, miniters, num_out,
                             cnn_obj, use_cnn_metro, use_cnn_refine,
                             use_cnn_search, use_grid_search=False,
-                            fused=None, fused_out=None):
+                            fused=None, fused_out=None, fused_mc=None):
         """Three jitted programs: chain init, a bounded MC chunk, and the
         merge+refine finish.  Chunking keeps each device program execution
         short (the single-chip tunnel kills very long executions) and the
@@ -932,11 +944,18 @@ class DockingEngine:
                 lg, e = carry.e.shape[:2]
                 flat = mcf._flatten_carry(carry)
                 hc = mcpar.hunt_cap
-                scal_h = fused.scal(hc[0], hc[1], slope, 1000.0, lo, hi)
+                scal_h = fused.scal(hc[0], hc[1], slope, 1000.0, lo, hi,
+                                    amplitude=mcpar.mutation_amplitude,
+                                    temperature=mcpar.temperature)
                 scal_f = fused.scal(1000.0, 1000.0, slope, 1000.0, lo, hi)
-                out = mcf.fused_mc_chunk(flat, key, chunk_steps, fused, pack,
-                                         scal_h, scal_f, meta, mcpar,
-                                         tp_slots)
+                if fused_mc is not None:
+                    out = mcf.fused_mc_chunk_inkernel(
+                        flat, key, chunk_steps, fused_mc, fused, pack,
+                        scal_h, scal_f, meta, mcpar, tp_slots)
+                else:
+                    out = mcf.fused_mc_chunk(flat, key, chunk_steps, fused,
+                                             pack, scal_h, scal_f, meta,
+                                             mcpar, tp_slots)
                 return mcf._unflatten_carry(out, lg, e)
         else:
             @jax.jit

@@ -217,3 +217,131 @@ def fused_mc_chunk(carry: mc.MCCarry, key, num_steps: int,
     else:
         final, _ = jax.lax.scan(step, carry, (keys, idx))
     return final
+
+
+def fused_mc_chunk_inkernel(carry: mc.MCCarry, key, num_steps: int,
+                            fused_mc: pd.FusedBfgs, fused_ref: pd.FusedBfgs,
+                            pack: pd.DockPack, scal_hunt, scal_full,
+                            meta: LaneMeta, params: mc.MCParams, tp: int):
+    """MC chunk with the WHOLE step loop in-kernel (mutate + BFGS +
+    metropolis via the TPU PRNG, ops/pallas_dock.py mc_steps mode).
+
+    The kernel runs S = fused_mc.mc_steps steps per invocation and streams
+    each step's minimized candidate back; this host-side program mirrors
+    the accept chain (the kernel's accept bits are authoritative) and
+    applies the container/pending bookkeeping, then refines pending poses
+    through the plain kernel at every S-step boundary (the refine_stride
+    cadence with stride == S).
+    """
+    lanes = carry.e.shape[0]
+    l_pad = pack.lc.shape[-1]
+    m = fused_mc.m
+    s_steps = fused_mc.mc_steps
+    n_full = carry.coords.shape[-2]
+    n_outer = max(num_steps // s_steps, 1)
+
+    def pack_conf(conf):
+        rigid, tors = pd.conf_to_packed(conf, m)
+        if l_pad > lanes:
+            rigid = jnp.pad(rigid, ((0, 0), (0, l_pad - lanes)))
+            tors = jnp.pad(tors, ((0, 0), (0, l_pad - lanes)))
+        return rigid, tors
+
+    def scatter_batch(ch):
+        """(3, N, lanes) heavy coords -> (lanes, n_full, 3)."""
+        c = jnp.transpose(ch[..., :lanes], (2, 1, 0))
+        return jax.vmap(_scatter_full, in_axes=(0, 0, None))(
+            c, meta.heavy_idx, n_full)
+
+    v_add = jax.vmap(mc.add_to_container, in_axes=(0, 0, 0, 0, 0, None))
+
+    def refine_phase(carry: mc.MCCarry) -> mc.MCCarry:
+        rigid, tors = pack_conf(carry.pending)
+        org, otr, stats, coords_h = fused_ref(rigid, tors, scal_full,
+                                              pack=pack)
+        rconf = pd.packed_to_conf(org[:, :lanes], otr[:, :lanes], tp)
+        re = stats[1, :lanes]
+        rcoords = scatter_batch(coords_h)
+        do = carry.pending_valid
+        cont_new = v_add(carry.cont, rconf, re, rcoords,
+                         meta.heavy_mask, params.min_rmsd)
+
+        def dsel(a, b):
+            dd = do.reshape((-1,) + (1,) * (a.ndim - 1))
+            return jnp.where(dd, a, b)
+
+        cont = jax.tree_util.tree_map(dsel, cont_new, carry.cont)
+        best_e = jnp.where(jnp.logical_and(do, re < carry.best_e), re,
+                           carry.best_e)
+        move = jnp.logical_and(do, carry.pending_is_current)
+
+        def msel(a, b):
+            mm = move.reshape((-1,) + (1,) * (a.ndim - 1))
+            return jnp.where(mm, a, b)
+
+        conf = jax.tree_util.tree_map(msel, rconf, carry.conf)
+        e = jnp.where(move, re, carry.e)
+        coords = msel(rcoords, carry.coords)
+        return mc.MCCarry(conf=conf, e=e, best_e=best_e, cont=cont,
+                          coords=coords, pending=carry.pending,
+                          pending_valid=jnp.zeros_like(carry.pending_valid),
+                          pending_is_current=jnp.zeros_like(
+                              carry.pending_is_current))
+
+    def outer(carry: mc.MCCarry, k):
+        seed = jax.random.randint(k, (), 0, jnp.iinfo(jnp.int32).max)
+        rigid, tors = pack_conf(carry.conf)
+        ecur = carry.e[None, :]
+        if l_pad > lanes:
+            ecur = jnp.pad(ecur, ((0, 0), (0, l_pad - lanes)))
+        (frigid, ftors, _stats, _coords, srig, stor, scoor,
+         sstat) = fused_mc.run_mc(rigid, tors, scal_hunt, seed, ecur,
+                                  pack=pack)
+
+        cur = carry
+        for step in range(s_steps):
+            cand = pd.packed_to_conf(srig[step * 8:step * 8 + 8, :lanes],
+                                     stor[step * m:(step + 1) * m, :lanes],
+                                     tp)
+            cand_e = sstat[step * 2, :lanes]
+            accept = sstat[step * 2 + 1, :lanes] > 0.5
+            cand_coords = scatter_batch(scoor[step * 3:step * 3 + 3])
+
+            def sel(a, b, acc=accept):
+                aa = acc.reshape((-1,) + (1,) * (a.ndim - 1))
+                return jnp.where(aa, a, b)
+
+            new_conf = jax.tree_util.tree_map(sel, cand, cur.conf)
+            new_e = jnp.where(accept, cand_e, cur.e)
+            new_coords = sel(cand_coords, cur.coords)
+
+            has_empty = jnp.any(cur.cont.energy >= MAX_FL, axis=-1)
+            promising = jnp.logical_and(
+                accept, jnp.logical_or(cand_e < cur.best_e, has_empty))
+            cont_new = v_add(cur.cont, new_conf, new_e, new_coords,
+                             meta.heavy_mask, params.min_rmsd)
+
+            def psel(a, b, p=promising):
+                pp = p.reshape((-1,) + (1,) * (a.ndim - 1))
+                return jnp.where(pp, a, b)
+
+            cont = jax.tree_util.tree_map(psel, cont_new, cur.cont)
+            best_e = jnp.where(
+                jnp.logical_and(promising, new_e < cur.best_e),
+                new_e, cur.best_e)
+            pending = jax.tree_util.tree_map(psel, new_conf, cur.pending)
+            pending_valid = jnp.logical_or(cur.pending_valid, promising)
+            pending_is_current = jnp.where(
+                promising, True,
+                jnp.logical_and(cur.pending_is_current, ~accept))
+            cur = mc.MCCarry(conf=new_conf, e=new_e, best_e=best_e,
+                             cont=cont, coords=new_coords, pending=pending,
+                             pending_valid=pending_valid,
+                             pending_is_current=pending_is_current)
+
+        cur = refine_phase(cur)
+        return cur, None
+
+    keys = jax.random.split(key, n_outer)
+    final, _ = jax.lax.scan(outer, carry, keys)
+    return final

@@ -262,7 +262,8 @@ def _rotvec_quat(rx, ry, rz):
 def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                      l_total: int, maxiters: int, want_metro: bool,
                      interpret: bool = False, debug_grad: bool = False,
-                     n_iter: int = 0, done_frac: float = 1.0):
+                     n_iter: int = 0, done_frac: float = 1.0,
+                     mc_steps: int = 0):
     """Build the fused-BFGS callable.
 
     Returns fn(rigid0 (8,L), tors0 (M,L), scal (12,1), pack arrays...) ->
@@ -285,9 +286,14 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                             memory_space=pltpu.VMEM)
 
     def kernel(scal, rigid0, tors0, lc, ap, nodeoh, parentoh, parentohT,
-               relax, relo, laymask, imask, dofmask, rec,
-               out_rigid, out_tors, out_stats, out_coords,
-               coords_s, gatom_s, zrow_s, cnt_s):
+               relax, relo, laymask, imask, dofmask, rec, *mc_refs):
+        if mc_steps:
+            (seed0, ecur0, out_rigid, out_tors, out_stats, out_coords,
+             out_srigid, out_stors, out_scoords, out_sstat,
+             coords_s, gatom_s, zrow_s, cnt_s) = mc_refs
+        else:
+            (out_rigid, out_tors, out_stats, out_coords,
+             coords_s, gatom_s, zrow_s, cnt_s) = mc_refs
         v0 = scal[0, 0]
         v1 = scal[1, 0]
         slope = scal[2, 0]
@@ -632,10 +638,6 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
             return rigid_new, tors_new
 
         # ---------------- BFGS loop (bfgs.h:357-502) -----------------------
-        rigid_in = rigid0[:]
-        tors_in = tors0[:]
-        f0_init, g_init = eval_fg(rigid_in, tors_in, True, v1, v0)
-
         eye = (jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
                == jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
                ).astype(jnp.float32)[:, :, None] * jnp.ones((1, 1, LB))
@@ -653,10 +655,27 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
         # (bfgs.h gradient tolerance) has the same effect thread-locally.
         done_target = float(int(done_frac * LB))
 
-        def bfgs_cond(st):
-            it, rigid, tors, g, h, f0, donef = st
-            return jnp.logical_and(it < maxiters,
-                                   jnp.sum(donef) < done_target)
+        def bfgs_run(rigid_in, tors_in):
+            """One full truncated-BFGS minimization of every lane; returns
+            (rigid_out, tors_out, f_out) with the bfgs.h:491 restore."""
+            f0_init, g_init = eval_fg(rigid_in, tors_in, True, v1, v0)
+
+            def bfgs_cond(st):
+                it, rigid, tors, g, h, f0, donef = st
+                return jnp.logical_and(it < maxiters,
+                                       jnp.sum(donef) < done_target)
+
+            st0 = (jnp.int32(0), rigid_in, tors_in, g_init, eye,
+                   f0_init, zrow())
+            _, rigid_f, tors_f, _, _, f_f, _ = jax.lax.while_loop(
+                bfgs_cond, bfgs_body, st0)
+
+            # restore original if not improved (bfgs.h:491, NaN-safe)
+            improved = f_f <= f0_init
+            rigid_out = jnp.where(improved, rigid_f, rigid_in)
+            tors_out = jnp.where(improved, tors_f, tors_in)
+            f_out = jnp.where(improved, f_f, f0_init)
+            return rigid_out, tors_out, f_out
 
         def bfgs_body(st):
             it, rigid, tors, g, h, f0, donef = st
@@ -734,39 +753,9 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
 
             return (it + 1, srigid, stors, g_new, h_new, f0_new, donef_new)
 
-        if debug_grad:
-            # test hook: dump the initial DOF gradient into out_coords
-            out_rigid[:] = rigid_in
-            out_tors[:] = tors_in
-            out_stats[:] = jnp.concatenate(
-                [f0_init, jnp.zeros((7, LB), jnp.float32)], axis=0)
-            gd = jnp.concatenate(
-                [g_init, jnp.zeros((3 * n - d, LB), jnp.float32)], axis=0)
-            out_coords[0] = gd[0:n, :]
-            out_coords[1] = gd[n:2 * n, :]
-            out_coords[2] = gd[2 * n:3 * n, :]
-            return
-
-        st0 = (jnp.int32(0), rigid_in, tors_in, g_init, eye,
-               f0_init, zrow())
-        _, rigid_f, tors_f, _, _, f_f, _ = jax.lax.while_loop(
-            bfgs_cond, bfgs_body, st0)
-
-        # restore original if not improved (bfgs.h:491, NaN-safe)
-        improved = f_f <= f0_init
-        rigid_out = jnp.where(improved, rigid_f, rigid_in)
-        tors_out = jnp.where(improved, tors_f, tors_in)
-        f_out = jnp.where(improved, f_f, f0_init)
-
-        out_rigid[:] = rigid_out
-        out_tors[:] = tors_out
-
-        # final coords (+ metropolis energy at authentic v: the search
-        # igrid's inter-only eval, parallel_mc.cpp:161-162)
-        fk(rigid_out, tors_out)
-        if want_metro:
-            e_metro = zrow()
-
+        def metro_eval():
+            """Inter-only energy at authentic v on coords_s (the search
+            igrid's metropolis eval, parallel_mc.cpp:161-162)."""
             def metro_body(a, acc):
                 cx = coords_s[0, pl.ds(a, 1), :]
                 cy = coords_s[1, pl.ds(a, 1), :]
@@ -805,47 +794,212 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                 e_a, _ = curl_pair(e_a, None, v_metro)
                 return acc + heavy * (e_a + slope * oob)
 
-            e_metro = jax.lax.fori_loop(0, n_eval, metro_body, e_metro)
-        else:
-            e_metro = jnp.zeros((1, LB), jnp.float32)
+            return jax.lax.fori_loop(0, n_eval, metro_body, zrow())
 
+        if debug_grad:
+            # test hook: dump the initial DOF gradient into out_coords
+            rigid_in = rigid0[:]
+            tors_in = tors0[:]
+            f0_init, g_init = eval_fg(rigid_in, tors_in, True, v1, v0)
+            out_rigid[:] = rigid_in
+            out_tors[:] = tors_in
+            out_stats[:] = jnp.concatenate(
+                [f0_init, jnp.zeros((7, LB), jnp.float32)], axis=0)
+            gd = jnp.concatenate(
+                [g_init, jnp.zeros((3 * n - d, LB), jnp.float32)], axis=0)
+            out_coords[0] = gd[0:n, :]
+            out_coords[1] = gd[n:2 * n, :]
+            out_coords[2] = gd[2 * n:3 * n, :]
+            return
+
+        if not mc_steps:
+            rigid_out, tors_out, f_out = bfgs_run(rigid0[:], tors0[:])
+            out_rigid[:] = rigid_out
+            out_tors[:] = tors_out
+            fk(rigid_out, tors_out)
+            if want_metro:
+                e_metro = metro_eval()
+            else:
+                e_metro = jnp.zeros((1, LB), jnp.float32)
+            stats = jnp.concatenate(
+                [f_out, e_metro, cnt_s[0:1, :], cnt_s[1:2, :],
+                 jnp.zeros((4, LB), jnp.float32)], axis=0)
+            out_stats[:] = stats
+            out_coords[0] = coords_s[0]
+            out_coords[1] = coords_s[1]
+            out_coords[2] = coords_s[2]
+            return
+
+        # ---------------- in-kernel Monte Carlo ---------------------------
+        # monte_carlo.cpp:99-148 step loop with the mutation draw of
+        # mutate.cpp:35-73 and metropolis at temperature scal[11]; the
+        # host-side container/pending bookkeeping consumes the per-step
+        # candidate stream (out_s*).
+        pltpu.prng_seed(seed0[0, 0] + pl.program_id(0))
+        amp = scal[10, 0]
+        temp = scal[11, 0]
+        hasrig = dofm[0:1, :]                       # (1, LB)
+        ntors_row = jnp.sum(dofm[6:d, :], axis=0, keepdims=True)
+
+        def u01(shape):
+            bits = pltpu.prng_random_bits(shape)
+            return (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+
+        def rand_sphere():
+            """Uniform point in the unit ball per lane (random_inside_sphere:
+            normal direction x cbrt(U))."""
+            u1 = jnp.maximum(u01((1, LB)), 1e-7)
+            u2 = u01((1, LB))
+            u3 = jnp.maximum(u01((1, LB)), 1e-7)
+            u4 = u01((1, LB))
+            r1 = jnp.sqrt(-2.0 * jnp.log(u1))
+            r2 = jnp.sqrt(-2.0 * jnp.log(u3))
+            n1 = r1 * jnp.cos(2.0 * np.pi * u2)
+            n2 = r1 * jnp.sin(2.0 * np.pi * u2)
+            n3 = r2 * jnp.cos(2.0 * np.pi * u4)
+            inv = jax.lax.rsqrt(n1 * n1 + n2 * n2 + n3 * n3 + 1e-12)
+            rad = jnp.exp(jnp.log(jnp.maximum(u01((1, LB)), 1e-7)) / 3.0)
+            sc = inv * rad
+            return n1 * sc, n2 * sc, n3 * sc
+
+        def gyration(rigid):
+            """Heavy-atom RMS distance from the root origin on coords_s
+            (model.cpp:1002)."""
+            dx = coords_s[0] - rigid[0:1, :]
+            dy = coords_s[1] - rigid[1:2, :]
+            dz = coords_s[2] - rigid[2:3, :]
+            hv = ap[4]
+            d2 = jnp.sum(hv * (dx * dx + dy * dy + dz * dz),
+                         axis=0, keepdims=True)
+            cnt = jnp.maximum(jnp.sum(hv, axis=0, keepdims=True), 1.0)
+            return jnp.sqrt(d2 / cnt)
+
+        def mutate(rigid, tors, gr):
+            """One-DOF mutation (mutate.cpp:35-73): position, orientation,
+            or one torsion redraw, drawn uniformly."""
+            lo_row = 2.0 * (1.0 - hasrig)
+            span = ntors_row + 2.0 - lo_row
+            which = jnp.floor(lo_row + u01((1, LB)) * span)
+            which = jnp.minimum(which, ntors_row + 1.0)
+
+            sx, sy, sz = rand_sphere()
+            pos_sel = which < 0.5
+            px = jnp.where(pos_sel, rigid[0:1, :] + amp * sx, rigid[0:1, :])
+            py = jnp.where(pos_sel, rigid[1:2, :] + amp * sy, rigid[1:2, :])
+            pz = jnp.where(pos_sel, rigid[2:3, :] + amp * sz, rigid[2:3, :])
+
+            ox, oy, oz = rand_sphere()
+            rs = amp / jnp.maximum(gr, EPSILON_FL)
+            dq = _rotvec_quat(rs * ox, rs * oy, rs * oz)
+            q = _qmul(dq[0], dq[1], dq[2], dq[3],
+                      rigid[3:4, :], rigid[4:5, :], rigid[5:6, :],
+                      rigid[6:7, :])
+            q = _qnormalize_approx(*q)
+            ori_sel = jnp.logical_and(
+                jnp.logical_and(which >= 0.5, which < 1.5),
+                gr > EPSILON_FL)
+            qw = jnp.where(ori_sel, q[0], rigid[3:4, :])
+            qx = jnp.where(ori_sel, q[1], rigid[4:5, :])
+            qy = jnp.where(ori_sel, q[2], rigid[5:6, :])
+            qz = jnp.where(ori_sel, q[3], rigid[6:7, :])
+
+            tor_sel = which >= 1.5
+            tidx = which - 2.0
+            rows = jax.lax.broadcasted_iota(
+                jnp.float32, (m, LB), 0)               # row j = torsion j-1
+            row_sel = jnp.logical_and(rows == (tidx + 1.0), tor_sel)
+            newt = u01((1, LB)) * (2.0 * np.pi) - np.pi
+            tors_new = jnp.where(row_sel, newt, tors)
+
+            rigid_new = jnp.concatenate(
+                [px, py, pz, qw, qx, qy, qz,
+                 jnp.zeros((1, LB), jnp.float32)], axis=0)
+            return rigid_new, tors_new
+
+        def mc_body(step, carry):
+            rigid, tors, e_cur = carry
+            fk(rigid, tors)                     # coords for gyration radius
+            gr = gyration(rigid)
+            crigid, ctors = mutate(rigid, tors, gr)
+            nrigid, ntors_, f_out = bfgs_run(crigid, ctors)
+            fk(nrigid, ntors_)
+            e_new = metro_eval()
+            u = u01((1, LB))
+            accept = jnp.logical_or(
+                e_new < e_cur,
+                u < jnp.exp((e_cur - e_new) / temp))
+            acceptf = accept.astype(jnp.float32)
+
+            out_srigid[pl.ds(step * 8, 8), :] = nrigid
+            out_stors[pl.ds(step * m, m), :] = ntors_
+            out_scoords[pl.ds(step * 3, 3), :, :] = jnp.stack(
+                [coords_s[0], coords_s[1], coords_s[2]], axis=0)
+            out_sstat[pl.ds(step * 2, 2), :] = jnp.concatenate(
+                [e_new, acceptf], axis=0)
+
+            rigid2 = jnp.where(accept, nrigid, rigid)
+            tors2 = jnp.where(accept, ntors_, tors)
+            e2 = jnp.where(accept, e_new, e_cur)
+            return (rigid2, tors2, e2)
+
+        rigid_f, tors_f, e_f = jax.lax.fori_loop(
+            0, mc_steps, mc_body, (rigid0[:], tors0[:], ecur0[:]))
+        out_rigid[:] = rigid_f
+        out_tors[:] = tors_f
         stats = jnp.concatenate(
-            [f_out, e_metro, cnt_s[0:1, :], cnt_s[1:2, :],
+            [e_f, e_f, cnt_s[0:1, :], cnt_s[1:2, :],
              jnp.zeros((4, LB), jnp.float32)], axis=0)
         out_stats[:] = stats
         out_coords[0] = coords_s[0]
         out_coords[1] = coords_s[1]
         out_coords[2] = coords_s[2]
 
+    in_specs = [
+        pl.BlockSpec((12, 1), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),       # scal
+        lane_spec(8),                                # rigid0
+        lane_spec(m),                                # tors0
+        lane_spec(3, n),                             # lc
+        lane_spec(6, n),                             # ap
+        lane_spec(m, n),                             # nodeoh
+        lane_spec(m, m),                             # parentoh
+        lane_spec(m, m),                             # parentohT
+        lane_spec(3, m),                             # relax
+        lane_spec(3, m),                             # relo
+        lane_spec(ly, m),                            # laymask
+        lane_spec(n, n),                             # imask
+        lane_spec(d),                                # dofmask
+        pl.BlockSpec((k, 8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),       # rec
+    ]
+    out_specs = [lane_spec(8), lane_spec(m), lane_spec(8), lane_spec(3, n)]
+    out_shape = [
+        jax.ShapeDtypeStruct((8, l_total), jnp.float32),
+        jax.ShapeDtypeStruct((m, l_total), jnp.float32),
+        jax.ShapeDtypeStruct((8, l_total), jnp.float32),
+        jax.ShapeDtypeStruct((3, n, l_total), jnp.float32),
+    ]
+    if mc_steps:
+        in_specs += [
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),   # seed0
+            lane_spec(1),                            # ecur0
+        ]
+        out_specs += [lane_spec(mc_steps * 8), lane_spec(mc_steps * m),
+                      lane_spec(mc_steps * 3, n), lane_spec(mc_steps * 2)]
+        out_shape += [
+            jax.ShapeDtypeStruct((mc_steps * 8, l_total), jnp.float32),
+            jax.ShapeDtypeStruct((mc_steps * m, l_total), jnp.float32),
+            jax.ShapeDtypeStruct((mc_steps * 3, n, l_total), jnp.float32),
+            jax.ShapeDtypeStruct((mc_steps * 2, l_total), jnp.float32),
+        ]
+
     fn = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((12, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),       # scal
-            lane_spec(8),                                # rigid0
-            lane_spec(m),                                # tors0
-            lane_spec(3, n),                             # lc
-            lane_spec(6, n),                             # ap
-            lane_spec(m, n),                             # nodeoh
-            lane_spec(m, m),                             # parentoh
-            lane_spec(m, m),                             # parentohT
-            lane_spec(3, m),                             # relax
-            lane_spec(3, m),                             # relo
-            lane_spec(ly, m),                            # laymask
-            lane_spec(n, n),                             # imask
-            lane_spec(d),                                # dofmask
-            pl.BlockSpec((k, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),       # rec
-        ],
-        out_specs=[lane_spec(8), lane_spec(m), lane_spec(8),
-                   lane_spec(3, n)],
-        out_shape=[
-            jax.ShapeDtypeStruct((8, l_total), jnp.float32),
-            jax.ShapeDtypeStruct((m, l_total), jnp.float32),
-            jax.ShapeDtypeStruct((8, l_total), jnp.float32),
-            jax.ShapeDtypeStruct((3, n, l_total), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((3, n, LB), jnp.float32),         # coords_s
             pltpu.VMEM((3, n, LB), jnp.float32),         # gatom_s
@@ -890,7 +1044,7 @@ class FusedBfgs:
     def __init__(self, sf: ScoringFunction, pack: DockPack, maxiters: int,
                  want_metro: bool = True, interpret: Optional[bool] = None,
                  debug_grad: bool = False, n_iter: int = 0,
-                 done_frac: float = 1.0):
+                 done_frac: float = 1.0, mc_steps: int = 0):
         terms = extract_vina_terms(sf)
         if terms is None:
             raise ValueError("scoring function outside the fused family")
@@ -900,19 +1054,36 @@ class FusedBfgs:
         self.n = n
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
+        self.mc_steps = mc_steps
         self.fn = make_bfgs_kernel(terms, n, m, ly, k, l, maxiters,
                                    want_metro, interpret=interpret,
                                    debug_grad=debug_grad, n_iter=n_iter,
-                                   done_frac=done_frac)
+                                   done_frac=done_frac, mc_steps=mc_steps)
 
-    def scal(self, v_intra, v_inter, slope, v_metro, lo, hi):
+    def scal(self, v_intra, v_inter, slope, v_metro, lo, hi,
+             amplitude=2.0, temperature=1.2):
         return jnp.concatenate([
             jnp.asarray([v_intra, v_inter, slope, v_metro], jnp.float32),
             jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32),
-            jnp.zeros((2,), jnp.float32)]).reshape(12, 1)
+            jnp.asarray([amplitude, temperature],
+                        jnp.float32)]).reshape(12, 1)
 
     def __call__(self, rigid, tors, scal, pack: Optional[DockPack] = None):
         p = self.pack if pack is None else pack
+        assert not self.mc_steps, "use run_mc for an MC-mode kernel"
         return self.fn(scal, rigid, tors, p.lc, p.ap, p.nodeoh, p.parentoh,
                        p.parentohT, p.relax, p.relo, p.laymask, p.imask,
                        p.dofmask, p.rec)
+
+    def run_mc(self, rigid, tors, scal, seed, ecur,
+               pack: Optional[DockPack] = None):
+        """mc_steps in-kernel MC steps from (rigid, tors, ecur).
+
+        Returns (rigid', tors', stats, coords, step_rigid, step_tors,
+        step_coords, step_stat): step_* stack the per-step minimized
+        candidates for host-side container bookkeeping."""
+        p = self.pack if pack is None else pack
+        seed = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+        return self.fn(scal, rigid, tors, p.lc, p.ap, p.nodeoh, p.parentoh,
+                       p.parentohT, p.relax, p.relo, p.laymask, p.imask,
+                       p.dofmask, p.rec, seed, ecur)
