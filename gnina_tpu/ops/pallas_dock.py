@@ -906,7 +906,7 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
             tor_sel = which >= 1.5
             tidx = which - 2.0
             rows = jax.lax.broadcasted_iota(
-                jnp.float32, (m, LB), 0)               # row j = torsion j-1
+                jnp.int32, (m, LB), 0).astype(jnp.float32)  # row j = tors j-1
             row_sel = jnp.logical_and(rows == (tidx + 1.0), tor_sel)
             newt = u01((1, LB)) * (2.0 * np.pi) - np.pi
             tors_new = jnp.where(row_sel, newt, tors)

@@ -18,6 +18,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # Persistent compilation cache: amortizes XLA compiles across test runs
 # (this host has a single CPU core; compiles dominate test wall time).
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
