@@ -511,17 +511,33 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
             text = f.read()
         for block in text.split("#GNINA_TPU_IDX ")[1:]:
             head, _, body = block.partition("\n")
+            parts = head.split(None, 1)
             try:
-                idx = int(head.split()[0])
+                idx = int(parts[0])
             except (ValueError, IndexError):
                 continue
-            if 0 <= idx < len(all_ligs):
-                results_by_idx[idx] = ("text", all_ligs[idx].name, body)
-                resumed.add(idx)
+            if not (0 <= idx < len(all_ligs)):
+                continue
+            # the partial may be left over from a run against a DIFFERENT
+            # ligand file: trust a block only when the stored name matches
+            stored_name = parts[1] if len(parts) > 1 else ""
+            if stored_name != all_ligs[idx].name:
+                log.write(f"WARNING: partial block {idx} names "
+                          f"'{stored_name}' but the ligand file has "
+                          f"'{all_ligs[idx].name}'; re-docking it\n")
+                continue
+            # flex chunk (if any) rides in the same block after its marker
+            sdf_body, _, flex_part = body.partition("#GNINA_TPU_FLEX ")
+            flex_body = flex_part.partition("\n")[2] if flex_part else ""
+            results_by_idx[idx] = ("text", stored_name, (sdf_body, flex_body))
+            resumed.add(idx)
         if resumed:
             log.write(f"Resuming: {len(resumed)} of {len(all_ligs)} "
                       "ligand(s) already docked\n")
-    part_f = open(partial_path, "a") if partial_path else None
+    # append only when actually resuming: a stale partial from an older
+    # interrupted run must not leak foreign blocks into this run's output
+    part_mode = "a" if resumed else "w"
+    part_f = open(partial_path, part_mode) if partial_path else None
 
     buckets = {}
     for lig in all_ligs:
@@ -561,6 +577,9 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
                     sdf_text = write_poses_sdf(lig, res, cnn_enabled)
                     part_f.write(f"#GNINA_TPU_IDX {idx} {lig.name}\n")
                     part_f.write(sdf_text)
+                    if args.out_flex and lig.flex_meta:
+                        part_f.write(f"#GNINA_TPU_FLEX {idx}\n")
+                        part_f.write(write_flex_pdb(lig, res))
                     part_f.flush()
 
     if part_f is not None:
@@ -572,7 +591,10 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
         kind, a, b = results_by_idx[i]
         if kind == "text":
             log.write(f"\n## {a} (resumed)\n")
-            out_chunks.append(b)
+            sdf_body, flex_body = b
+            out_chunks.append(sdf_body)
+            if flex_body:
+                out_flex_chunks.append(flex_body)
             continue
         lig, results = a, b
         log.write(f"\n## {lig.name}\n")

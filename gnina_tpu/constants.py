@@ -230,6 +230,11 @@ def table_from_custom_atoms(path: str, base: AtomTypeTable = DEFAULT_TABLE,
     return _dc.replace(base, **arrays)
 
 
+def smina_type_name(t) -> str:
+    """Full smina type name (e.g. 'Oxygen', 'OxygenXSDonor')."""
+    return DEFAULT_TABLE.smina_names[int(t)]
+
+
 def smina_type_to_element_name(t: SminaType) -> str:
     ad = DEFAULT_TABLE.ad_names[t]
     if ad == "A":

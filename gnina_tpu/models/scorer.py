@@ -133,9 +133,11 @@ class CNNScorer:
 
     # -- CNN as minimization objective (non_cache_cnn equivalent) ---------------
 
-    def make_loss_fn(self, rec_coords, rec_types, rec_mask, lig_types):
-        """Returns loss(lig_coords (N,3), lig_mask, center) -> scalar mean
-        CNN loss over the ensemble.
+    def make_loss_fn_generic(self, rec_coords, rec_types, rec_mask):
+        """Returns loss(lig_coords (N,3), lig_types (N,), lig_mask, center)
+        -> scalar mean CNN loss over the ensemble; lig_types is a RUNTIME
+        argument so one bound objective serves a whole shape-bucketed
+        ligand batch (vmapped over the ligand axis in refinement screens).
 
         The grid center is a runtime argument: during BFGS refinement it is
         FIXED at the value set at refinement start (DLScorer::
@@ -149,24 +151,25 @@ class CNNScorer:
         rec_coords = jnp.asarray(rec_coords)
         rec_types = jnp.asarray(rec_types)
         rec_mask = jnp.asarray(rec_mask)
-        lig_types = jnp.asarray(lig_types)
 
         prepared = []
         for m in models:
             nrec = m.rec_typer.num_channels
             rec_chan = jnp.asarray(m.rec_typer.table)[rec_types]
-            lig_chan_raw = jnp.asarray(m.lig_typer.table)[lig_types]
-            lig_chan = jnp.where(lig_chan_raw >= 0, lig_chan_raw + nrec, -1)
-            channels = jnp.concatenate([rec_chan, lig_chan])
-            radii = jnp.concatenate([
-                jnp.asarray(m.rec_typer.radii)[rec_types],
-                jnp.asarray(m.lig_typer.radii)[lig_types]])
-            prepared.append((m, channels, radii))
+            rec_radii = jnp.asarray(m.rec_typer.radii)[rec_types]
+            prepared.append((m, nrec, rec_chan, rec_radii))
 
-        def loss_fn(lig_coords, lig_mask, center):
+        def loss_fn(lig_coords, lig_types, lig_mask, center):
+            lig_types = jnp.asarray(lig_types)
             mask = jnp.concatenate([rec_mask, lig_mask])
             total = 0.0
-            for m, channels, radii in prepared:
+            for m, nrec, rec_chan, rec_radii in prepared:
+                lig_chan_raw = jnp.asarray(m.lig_typer.table)[lig_types]
+                lig_chan = jnp.where(lig_chan_raw >= 0, lig_chan_raw + nrec,
+                                     -1)
+                channels = jnp.concatenate([rec_chan, lig_chan])
+                radii = jnp.concatenate([
+                    rec_radii, jnp.asarray(m.lig_typer.radii)[lig_types]])
                 allc = jnp.concatenate([rec_coords, lig_coords])
                 grid = voxelize(allc, channels, radii, mask, center,
                                 num_channels=m.num_channels,
@@ -177,6 +180,16 @@ class CNNScorer:
                 _pose, _aff, loss = _pose_from_outputs(m, outputs)
                 total = total + loss[0]
             return total / len(prepared)
+
+        return loss_fn
+
+    def make_loss_fn(self, rec_coords, rec_types, rec_mask, lig_types):
+        """Per-ligand convenience wrapper over make_loss_fn_generic."""
+        generic = self.make_loss_fn_generic(rec_coords, rec_types, rec_mask)
+        lig_types = jnp.asarray(lig_types)
+
+        def loss_fn(lig_coords, lig_mask, center):
+            return generic(lig_coords, lig_types, lig_mask, center)
 
         return loss_fn
 

@@ -105,6 +105,66 @@ def add_to_container(cont: PoseContainer, conf: Conf, energy, coords,
     )
 
 
+def batch_merge_candidates(cont: PoseContainer, cand: PoseContainer,
+                           heavy_mask, min_rmsd: float,
+                           greedy_iters: int = 16) -> PoseContainer:
+    """Fold S candidate poses into the K-slot container in ONE pass.
+
+    Device-native replacement for S sequential `add_to_container` calls
+    (coords.cpp add_to_output_container): the sequential chain of tiny
+    dedup updates was the dominant host-side cost of the in-kernel MC path
+    (each add depends on the previous).  Here: concatenate the K existing
+    slots with the S candidates, sort by energy, suppress every entry
+    within min_rmsd of a better KEPT entry, and keep the best K survivors.
+
+    The kept-set recurrence (greedy dedup in energy order) is computed by
+    fixed-point iteration of `kept[i] = !any_j(adj[i,j] & kept[j])` — an
+    antitone map whose unique fixed point is the greedy solution; after t
+    iterations every entry whose suppression-chain depth is < t is exact.
+    greedy_iters=16 covers any realistic pose cluster chain.
+
+    Invalid entries (energy >= MAX_FL) never suppress and sort last;
+    unkept/invalid output slots are reset to the empty-slot convention
+    (energy MAX_FL, coords 1e9) so later merges see them as empty.
+    """
+    k = cont.energy.shape[0]
+    allc = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), cont, cand)
+    order = jnp.argsort(allc.energy)
+    allc = jax.tree_util.tree_map(lambda a: a[order], allc)
+    e = allc.energy
+    mtot = e.shape[0]
+
+    # pairwise heavy-atom rmsd^2 via the Gram expansion (one MXU matmul
+    # instead of an (M,M,N,3) broadcast): non-heavy atoms zeroed out
+    x = jnp.where(heavy_mask[None, :, None], allc.coords, 0.0)
+    xf = x.reshape(mtot, -1)
+    sq = jnp.sum(xf * xf, axis=-1)
+    gram = xf @ xf.T
+    cnt = jnp.maximum(jnp.sum(heavy_mask), 1)
+    d2 = (sq[:, None] + sq[None, :] - 2.0 * gram) / cnt
+
+    valid = e < MAX_FL
+    ii = jnp.arange(mtot)
+    adj = ((ii[None, :] < ii[:, None])            # j strictly better-ranked
+           & (d2 < min_rmsd * min_rmsd)
+           & valid[None, :]).astype(jnp.float32)  # adj[i, j]: j suppresses i
+
+    def _iter(_, kept):
+        return (adj @ kept < 0.5).astype(jnp.float32)
+
+    kept = jax.lax.fori_loop(0, greedy_iters, _iter,
+                             jnp.ones((mtot,), jnp.float32))
+    keep = (kept > 0.5) & valid
+
+    sel = jnp.argsort(~keep, stable=True)[:k]     # kept first, energy order
+    out = jax.tree_util.tree_map(lambda a: a[sel], allc)
+    kvalid = keep[sel]
+    return out._replace(
+        energy=jnp.where(kvalid, out.energy, MAX_FL),
+        coords=jnp.where(kvalid[:, None, None], out.coords, 1e9))
+
+
 def random_inside_sphere(key):
     """Uniform point in the unit ball (direction x cbrt(U))."""
     k1, k2 = jax.random.split(key)

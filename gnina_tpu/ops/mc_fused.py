@@ -78,7 +78,8 @@ def _scatter_full(coords_h, hidx, n_full: int):
 
 def fused_mc_chunk(carry: mc.MCCarry, key, num_steps: int,
                    fused: pd.FusedBfgs, pack: pd.DockPack, scal_hunt,
-                   scal_full, meta: LaneMeta, params: mc.MCParams, tp: int):
+                   scal_full, meta: LaneMeta, params: mc.MCParams, tp: int,
+                   lane_offset=0):
     """Run num_steps MC steps on the flat lane axis (monte_carlo.cpp:99-148).
 
     carry: MCCarry with flat leading lane axis (L,).
@@ -87,6 +88,8 @@ def fused_mc_chunk(carry: mc.MCCarry, key, num_steps: int,
     pack: traced DockPack arrays (passed through jit so ligand batches
       sharing one shape bucket reuse the compiled program).
     tp: torsion slot count of the Conf pytrees.
+    lane_offset: global index of this shard's first lane (shard_map use);
+      keeps per-lane RNG streams identical to the unsharded program.
     """
     lanes = carry.e.shape[0]
     l_pad = pack.lc.shape[-1]
@@ -120,9 +123,9 @@ def fused_mc_chunk(carry: mc.MCCarry, key, num_steps: int,
         k, i = xs
         k1, k2 = jax.random.split(k)
         kmut = jax.vmap(lambda j: jax.random.fold_in(k1, j))(
-            jnp.arange(lanes))
+            lane_offset + jnp.arange(lanes))
         kmet = jax.vmap(lambda j: jax.random.fold_in(k2, j))(
-            jnp.arange(lanes))
+            lane_offset + jnp.arange(lanes))
 
         gr = jax.vmap(mc.gyration_radius)(
             carry.coords, carry.conf.position, meta.heavy_mask)
@@ -222,23 +225,31 @@ def fused_mc_chunk(carry: mc.MCCarry, key, num_steps: int,
 def fused_mc_chunk_inkernel(carry: mc.MCCarry, key, num_steps: int,
                             fused_mc: pd.FusedBfgs, fused_ref: pd.FusedBfgs,
                             pack: pd.DockPack, scal_hunt, scal_full,
-                            meta: LaneMeta, params: mc.MCParams, tp: int):
+                            meta: LaneMeta, params: mc.MCParams, tp: int,
+                            seed_offset=0):
     """MC chunk with the WHOLE step loop in-kernel (mutate + BFGS +
     metropolis via the TPU PRNG, ops/pallas_dock.py mc_steps mode).
 
-    The kernel runs S = fused_mc.mc_steps steps per invocation and streams
-    each step's minimized candidate back; this host-side program mirrors
-    the accept chain (the kernel's accept bits are authoritative) and
-    applies the container/pending bookkeeping, then refines pending poses
-    through the plain kernel at every S-step boundary (the refine_stride
-    cadence with stride == S).
+    The kernel runs S = fused_mc.mc_steps steps per invocation, carries
+    the accept chain itself (its final rigid/tors/e ARE the chain state),
+    and streams each step's minimized candidate back.  The host-side
+    bookkeeping per S steps is then just:
+      1. pick the best accepted candidate and refine it at full v through
+         the plain kernel (the reference's in-loop promising-pose
+         refinement, monte_carlo.cpp:120-135, at an every-S-steps cadence);
+      2. fold ALL accepted candidates + the refined pose into the top-N
+         container with ONE batched sort/dedup merge
+         (mc.batch_merge_candidates) — the round-2 sequential
+         add_to_container chain was the dominant per-step host cost.
     """
     lanes = carry.e.shape[0]
     l_pad = pack.lc.shape[-1]
     m = fused_mc.m
     s_steps = fused_mc.mc_steps
     n_full = carry.coords.shape[-2]
-    n_outer = max(num_steps // s_steps, 1)
+    assert num_steps % s_steps == 0, \
+        "chunk steps must be a multiple of fused mc_steps (driver rounds)"
+    n_outer = num_steps // s_steps
 
     def pack_conf(conf):
         rigid, tors = pd.conf_to_packed(conf, m)
@@ -253,94 +264,109 @@ def fused_mc_chunk_inkernel(carry: mc.MCCarry, key, num_steps: int,
         return jax.vmap(_scatter_full, in_axes=(0, 0, None))(
             c, meta.heavy_idx, n_full)
 
-    v_add = jax.vmap(mc.add_to_container, in_axes=(0, 0, 0, 0, 0, None))
+    v_merge = jax.vmap(mc.batch_merge_candidates,
+                       in_axes=(0, 0, 0, None))
+    big = jnp.float32(3e38)
 
-    def refine_phase(carry: mc.MCCarry) -> mc.MCCarry:
-        rigid, tors = pack_conf(carry.pending)
-        org, otr, stats, coords_h = fused_ref(rigid, tors, scal_full,
-                                              pack=pack)
+    def outer(carry: mc.MCCarry, k):
+        # seed_offset: this shard's first global kernel-block index
+        # (shard_map use); the kernel adds its local program_id so every
+        # lane block draws the same stream as in the unsharded program
+        seed = jax.random.randint(k, (), 0, 1 << 30) + seed_offset
+        rigid, tors = pack_conf(carry.conf)
+        ecur = carry.e[None, :]
+        if l_pad > lanes:
+            ecur = jnp.pad(ecur, ((0, 0), (0, l_pad - lanes)))
+        (frigid, ftors, fstats, fcoords, srig, stor, scoor,
+         sstat) = fused_mc.run_mc(rigid, tors, scal_hunt, seed, ecur,
+                                  pack=pack)
+
+        # final chain state comes straight from the kernel
+        conf_f = pd.packed_to_conf(frigid[:, :lanes], ftors[:, :lanes], tp)
+        e_f = fstats[0, :lanes]
+        coords_f = scatter_batch(fcoords)
+
+        # candidate stream: (S, rows, L) slabs -> lane-major pytrees
+        crig = srig.reshape(s_steps, 8, l_pad)[..., :lanes]
+        ctor = stor.reshape(s_steps, m, l_pad)[..., :lanes]
+        cstat = sstat.reshape(s_steps, 2, l_pad)[..., :lanes]
+        ccrd = scoor.reshape(s_steps, 3, -1, l_pad)[..., :lanes]
+        cand_e = cstat[:, 0, :].T                         # (L, S)
+        accept = cstat[:, 1, :].T > 0.5                   # (L, S)
+        cpos = jnp.transpose(crig[:, 0:3, :], (2, 0, 1))  # (L, S, 3)
+        cquat = jnp.transpose(crig[:, 3:7, :], (2, 0, 1))
+        ctors = jnp.transpose(ctor[:, 1:1 + tp, :], (2, 0, 1))
+        ch = jnp.transpose(ccrd, (3, 0, 2, 1))            # (L, S, NH, 3)
+        ccoords = jax.vmap(jax.vmap(_scatter_full, in_axes=(0, None, None)),
+                           in_axes=(0, 0, None))(ch, meta.heavy_idx, n_full)
+
+        # best accepted candidate of the chunk = the pending promising pose
+        masked_e = jnp.where(accept, cand_e, big)
+        idx_best = jnp.argmin(masked_e, axis=1)           # (L,)
+        has_acc = jnp.any(accept, axis=1)
+        sidx = jnp.arange(s_steps)[None, :]
+        last_acc = jnp.max(jnp.where(accept, sidx, -1), axis=1)
+
+        def take(a, idx):
+            return jnp.take_along_axis(
+                a, idx.reshape((-1, 1) + (1,) * (a.ndim - 2)), axis=1
+            ).squeeze(1)
+
+        pend = Conf(position=take(cpos, idx_best),
+                    orientation=take(cquat, idx_best),
+                    torsions=take(ctors, idx_best))
+
+        # full-v refinement of the pending pose (one plain-kernel call)
+        prigid, ptors = pack_conf(pend)
+        org, otr, rstats, rcoords_h = fused_ref(prigid, ptors, scal_full,
+                                                pack=pack)
         rconf = pd.packed_to_conf(org[:, :lanes], otr[:, :lanes], tp)
-        re = stats[1, :lanes]
-        rcoords = scatter_batch(coords_h)
-        do = carry.pending_valid
-        cont_new = v_add(carry.cont, rconf, re, rcoords,
-                         meta.heavy_mask, params.min_rmsd)
+        re = rstats[1, :lanes]
+        rcoords = scatter_batch(rcoords_h)
 
-        def dsel(a, b):
-            dd = do.reshape((-1,) + (1,) * (a.ndim - 1))
-            return jnp.where(dd, a, b)
-
-        cont = jax.tree_util.tree_map(dsel, cont_new, carry.cont)
-        best_e = jnp.where(jnp.logical_and(do, re < carry.best_e), re,
-                           carry.best_e)
-        move = jnp.logical_and(do, carry.pending_is_current)
+        # chain continues from the refined conf when the pending pose is
+        # still the chain head (monte_carlo.cpp:128 semantics)
+        move = jnp.logical_and(has_acc, last_acc == idx_best)
 
         def msel(a, b):
             mm = move.reshape((-1,) + (1,) * (a.ndim - 1))
             return jnp.where(mm, a, b)
 
-        conf = jax.tree_util.tree_map(msel, rconf, carry.conf)
-        e = jnp.where(move, re, carry.e)
-        coords = msel(rcoords, carry.coords)
+        conf = jax.tree_util.tree_map(msel, rconf, conf_f)
+        e = jnp.where(move, re, e_f)
+        coords = msel(rcoords, coords_f)
+
+        # ONE batched container merge: S accepted candidates + the refined
+        # pose; rejected slots become empty entries (energy MAX_FL)
+        rvalid = has_acc
+        cand_cont = mc.PoseContainer(
+            energy=jnp.concatenate([
+                jnp.where(accept, cand_e, MAX_FL),
+                jnp.where(rvalid, re, MAX_FL)[:, None]], axis=1),
+            position=jnp.concatenate([cpos, rconf.position[:, None]],
+                                     axis=1),
+            orientation=jnp.concatenate([cquat, rconf.orientation[:, None]],
+                                        axis=1),
+            torsions=jnp.concatenate([ctors, rconf.torsions[:, None]],
+                                     axis=1),
+            coords=jnp.concatenate([
+                jnp.where(accept[:, :, None, None]
+                          & meta.heavy_mask[:, None, :, None],
+                          ccoords, 1e9),
+                jnp.where(rvalid[:, None, None, None]
+                          & meta.heavy_mask[:, None, :, None],
+                          rcoords[:, None], 1e9)], axis=1))
+        cont = v_merge(carry.cont, cand_cont, meta.heavy_mask,
+                       params.min_rmsd)
+
+        best_e = jnp.minimum(carry.best_e, jnp.min(masked_e, axis=1))
+        best_e = jnp.minimum(best_e, jnp.where(rvalid, re, big))
+
         return mc.MCCarry(conf=conf, e=e, best_e=best_e, cont=cont,
-                          coords=coords, pending=carry.pending,
+                          coords=coords, pending=conf,
                           pending_valid=jnp.zeros_like(carry.pending_valid),
                           pending_is_current=jnp.zeros_like(
-                              carry.pending_is_current))
-
-    def outer(carry: mc.MCCarry, k):
-        seed = jax.random.randint(k, (), 0, jnp.iinfo(jnp.int32).max)
-        rigid, tors = pack_conf(carry.conf)
-        ecur = carry.e[None, :]
-        if l_pad > lanes:
-            ecur = jnp.pad(ecur, ((0, 0), (0, l_pad - lanes)))
-        (frigid, ftors, _stats, _coords, srig, stor, scoor,
-         sstat) = fused_mc.run_mc(rigid, tors, scal_hunt, seed, ecur,
-                                  pack=pack)
-
-        cur = carry
-        for step in range(s_steps):
-            cand = pd.packed_to_conf(srig[step * 8:step * 8 + 8, :lanes],
-                                     stor[step * m:(step + 1) * m, :lanes],
-                                     tp)
-            cand_e = sstat[step * 2, :lanes]
-            accept = sstat[step * 2 + 1, :lanes] > 0.5
-            cand_coords = scatter_batch(scoor[step * 3:step * 3 + 3])
-
-            def sel(a, b, acc=accept):
-                aa = acc.reshape((-1,) + (1,) * (a.ndim - 1))
-                return jnp.where(aa, a, b)
-
-            new_conf = jax.tree_util.tree_map(sel, cand, cur.conf)
-            new_e = jnp.where(accept, cand_e, cur.e)
-            new_coords = sel(cand_coords, cur.coords)
-
-            has_empty = jnp.any(cur.cont.energy >= MAX_FL, axis=-1)
-            promising = jnp.logical_and(
-                accept, jnp.logical_or(cand_e < cur.best_e, has_empty))
-            cont_new = v_add(cur.cont, new_conf, new_e, new_coords,
-                             meta.heavy_mask, params.min_rmsd)
-
-            def psel(a, b, p=promising):
-                pp = p.reshape((-1,) + (1,) * (a.ndim - 1))
-                return jnp.where(pp, a, b)
-
-            cont = jax.tree_util.tree_map(psel, cont_new, cur.cont)
-            best_e = jnp.where(
-                jnp.logical_and(promising, new_e < cur.best_e),
-                new_e, cur.best_e)
-            pending = jax.tree_util.tree_map(psel, new_conf, cur.pending)
-            pending_valid = jnp.logical_or(cur.pending_valid, promising)
-            pending_is_current = jnp.where(
-                promising, True,
-                jnp.logical_and(cur.pending_is_current, ~accept))
-            cur = mc.MCCarry(conf=new_conf, e=new_e, best_e=best_e,
-                             cont=cont, coords=new_coords, pending=pending,
-                             pending_valid=pending_valid,
-                             pending_is_current=pending_is_current)
-
-        cur = refine_phase(cur)
-        return cur, None
+                              carry.pending_is_current)), None
 
     keys = jax.random.split(key, n_outer)
     final, _ = jax.lax.scan(outer, carry, keys)

@@ -125,13 +125,22 @@ def _static_dims(pack: DockPack):
 
 
 def build_pack(ligs, rec_coords, rec_types, rec_charges, rec_mask,
-               exhaustiveness: int, table, m_pad: int = 0) -> DockPack:
+               exhaustiveness: int, table, m_pad: int = 0,
+               shards: int = 1) -> DockPack:
     """Build kernel arrays from host LigandStructs + padded receptor.
 
     Lane layout: lane = ligand_index * exhaustiveness + chain, padded up
     to a multiple of LB with inert lanes (zero heavy mask / dof mask).
     m_pad: force at least this many tree nodes (so the packed torsion
     layout lines up with an externally chosen Conf slot count).
+
+    shards > 1 lays the lane axis out for an even split over a device
+    mesh axis: the real lanes are divided into `shards` contiguous groups
+    and each group carries its OWN trailing inert padding up to an LB
+    multiple, so slicing the lane axis into `shards` equal pieces gives
+    every shard a self-consistent [real | pad] block whose local column
+    indices match the (unpadded) carry lanes of that shard.  Requires
+    lanes % shards == 0 (the driver pads the ligand list).
     """
     del rec_charges  # vina family has no charge terms
     g = len(ligs)
@@ -142,7 +151,10 @@ def build_pack(ligs, rec_coords, rec_types, rec_charges, rec_mask,
     ly = max(int(l.layer.max()) if l.num_nodes > 1 else 1 for l in ligs)
     d = 6 + (m - 1)
     lanes = g * exhaustiveness
-    l_pad = ((lanes + LB - 1) // LB) * LB
+    assert lanes % shards == 0, (lanes, shards)
+    lps = lanes // shards                       # real lanes per shard
+    lps_pad = ((lps + LB - 1) // LB) * LB       # padded lanes per shard
+    l_pad = lps_pad * shards
 
     lc = np.zeros((3, n, lanes), np.float32)
     ap = np.zeros((6, n, lanes), np.float32)
@@ -186,9 +198,12 @@ def build_pack(ligs, rec_coords, rec_types, rec_charges, rec_mask,
             dofmask[:6, sl] = 0.0
 
     def padl(x):
-        pad = l_pad - lanes
-        if pad:
-            x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        if l_pad != lanes:
+            # per-shard trailing pad: (..., shards, lps) -> (..., shards,
+            # lps_pad) -> flat; shards == 1 reduces to a plain end pad
+            x = x.reshape(x.shape[:-1] + (shards, lps))
+            x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, lps_pad - lps)])
+            x = x.reshape(x.shape[:-2] + (l_pad,))
         return jnp.asarray(x)
 
     k = len(rec_types)
@@ -213,6 +228,17 @@ def build_pack(ligs, rec_coords, rec_types, rec_charges, rec_mask,
 # --------------------------------------------------------------------------
 # kernel
 # --------------------------------------------------------------------------
+
+def u01_from_bits(bits):
+    """Raw TPU PRNG bits -> uniform floats in [0, 1).
+
+    `pltpu.prng_random_bits` is typed int32, so a bare `bits >> 8` is an
+    ARITHMETIC shift that keeps the sign bit and yields draws in [-1, 1).
+    Masking to the low 24 bits (exactly a float32 mantissa) after the
+    shift makes the draw unsigned regardless of the input sign.
+    """
+    return ((bits >> 8) & 0xFFFFFF).astype(jnp.float32) * (1.0 / 16777216.0)
+
 
 def _qmul(aw, ax, ay, az, bw, bx, by, bz):
     """Hamilton product on component arrays (quaternion.h:62)."""
@@ -842,8 +868,7 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
         ntors_row = jnp.sum(dofm[6:d, :], axis=0, keepdims=True)
 
         def u01(shape):
-            bits = pltpu.prng_random_bits(shape)
-            return (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+            return u01_from_bits(pltpu.prng_random_bits(shape))
 
         def rand_sphere():
             """Uniform point in the unit ball per lane (random_inside_sphere:
@@ -994,6 +1019,11 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
             jax.ShapeDtypeStruct((mc_steps * 2, l_total), jnp.float32),
         ]
 
+    if interpret is True and mc_steps:
+        # the plain (HLO) interpreter has no lowering for the TPU PRNG
+        # primitives (prng_seed/prng_random_bits); the Mosaic TPU
+        # interpreter simulates them faithfully on CPU
+        interpret = pltpu.InterpretParams()
     fn = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -1044,11 +1074,17 @@ class FusedBfgs:
     def __init__(self, sf: ScoringFunction, pack: DockPack, maxiters: int,
                  want_metro: bool = True, interpret: Optional[bool] = None,
                  debug_grad: bool = False, n_iter: int = 0,
-                 done_frac: float = 1.0, mc_steps: int = 0):
+                 done_frac: float = 1.0, mc_steps: int = 0,
+                 shards: int = 1):
+        """shards > 1: the kernel is built for ONE shard of a lane axis
+        laid out by build_pack(shards=...) and must be invoked inside a
+        shard_map body with the pack's lane axis split over the mesh."""
         terms = extract_vina_terms(sf)
         if terms is None:
             raise ValueError("scoring function outside the fused family")
         n, m, ly, k, l = _static_dims(pack)
+        assert l % shards == 0, (l, shards)
+        l = l // shards
         self.pack = pack
         self.m = m
         self.n = n

@@ -522,6 +522,68 @@ def _parse_atom_type_term(desc: str, table: AtomTypeTable):
     return None
 
 
+def describe_term(t) -> str:
+    """Inverse of parse_term: the reference-format name string of a pair
+    term (the names terms::get_names returns, used as column headers in
+    --atom_terms output; everything.h registration strings)."""
+    from gnina_tpu.constants import smina_type_name
+
+    def g(x):
+        return f"{x:g}"
+
+    if isinstance(t, Gauss):
+        return f"gauss(o={g(t.offset)},_w={g(t.width)},_c={g(t.cutoff)})"
+    if isinstance(t, Repulsion):
+        return f"repulsion(o={g(t.offset)},_c={g(t.cutoff)})"
+    if isinstance(t, Hydrophobic):
+        return f"hydrophobic(g={g(t.good)},_b={g(t.bad)},_c={g(t.cutoff)})"
+    if isinstance(t, NonHydrophobic):
+        return (f"non_hydrophobic(g={g(t.good)},_b={g(t.bad)},"
+                f"_c={g(t.cutoff)})")
+    if isinstance(t, Vdw):
+        return (f"vdw(i={t.i},_j={t.j},_s={g(t.smoothing)},"
+                f"_^={g(t.cap)},_c={g(t.cutoff)})")
+    if isinstance(t, NonDirHBondLJ):
+        return (f"non_dir_h_bond_lj(o={g(t.offset)},_^={g(t.cap)},"
+                f"_c={g(t.cutoff)})")
+    if isinstance(t, NonDirAntiHBondQuadratic):
+        return (f"non_dir_anti_h_bond_quadratic(o={g(t.offset)},"
+                f"_c={g(t.cutoff)})")
+    if isinstance(t, DonorDonorQuadratic):
+        return f"donor_donor_quadratic(o={g(t.offset)},_c={g(t.cutoff)})"
+    if isinstance(t, AcceptorAcceptorQuadratic):
+        return f"acceptor_acceptor_quadratic(o={g(t.offset)},_c={g(t.cutoff)})"
+    if isinstance(t, NonDirHBond):
+        return (f"non_dir_h_bond(g={g(t.good)},_b={g(t.bad)},"
+                f"_c={g(t.cutoff)})")
+    if isinstance(t, Electrostatic):
+        return f"electrostatic(i={t.power},_^={g(t.cap)},_c={g(t.cutoff)})"
+    if isinstance(t, AD4Solvation):
+        return (f"ad4_solvation(d-sigma={g(t.desolvation_sigma)},"
+                f"_s/q={g(t.solvation_q)},_c={g(t.cutoff)})")
+    if isinstance(t, AtomTypeGaussian):
+        return (f"atom_type_gaussian(t1={smina_type_name(t.t1)},"
+                f"t2={smina_type_name(t.t2)},o={g(t.offset)},"
+                f"_w={g(t.width)},_c={g(t.cutoff)})")
+    if isinstance(t, AtomTypeLinear):
+        return (f"atom_type_linear(t1={smina_type_name(t.t1)},"
+                f"t2={smina_type_name(t.t2)},g={g(t.good)},"
+                f"_b={g(t.bad)},_c={g(t.cutoff)})")
+    if isinstance(t, AtomTypeQuadratic):
+        return (f"atom_type_quadratic(t1={smina_type_name(t.t1)},"
+                f"t2={smina_type_name(t.t2)},o={g(t.offset)},"
+                f"_c={g(t.cutoff)})")
+    if isinstance(t, AtomTypeInversePower):
+        return (f"atom_type_inverse_power(t1={smina_type_name(t.t1)},"
+                f"t2={smina_type_name(t.t2)},i={t.power},"
+                f"_^={g(t.cap)},_c={g(t.cutoff)})")
+    if isinstance(t, AtomTypeLennardJones):
+        return (f"atom_type_lennard_jones(t1={smina_type_name(t.t1)},"
+                f"t2={smina_type_name(t.t2)},o={g(t.opt_distance)},"
+                f"_^={g(t.cap)},_c={g(t.cutoff)})")
+    return type(t).__name__
+
+
 def parse_term(desc: str, table: Optional[AtomTypeTable] = None):
     """Parse a gnina term-description string into a Term or ConfIndependent.
 
