@@ -93,8 +93,11 @@ def parse_xyz(text: str, name: str = ""):
 
 
 def iter_ligands(path: str, table: AtomTypeTable = DEFAULT_TABLE,
-                 keep_hydrogens: bool = True) -> Iterator[LigandStruct]:
-    """Stream ligands from SDF/MOL/PDBQT/PDB/XYZ files (multi-record aware)."""
+                 keep_hydrogens: bool = True, strip_h: bool = True,
+                 add_h: bool = True) -> Iterator[LigandStruct]:
+    """Stream ligands from SDF/MOL/PDBQT/PDB/XYZ files (multi-record aware).
+
+    strip_h/add_h: --stripH/--addH (see build_tree_from_molecule)."""
     text = _read_text(path)
     base = path[:-3] if path.endswith(".gz") else path
     ext = os.path.splitext(base)[1].lower()
@@ -102,7 +105,8 @@ def iter_ligands(path: str, table: AtomTypeTable = DEFAULT_TABLE,
         for i, mol in enumerate(sdf.iter_sdf(text, is_text=True)):
             if not mol.name:
                 mol.name = f"{os.path.basename(base)}_{i}"
-            yield build_tree_from_molecule(mol, table)
+            yield build_tree_from_molecule(mol, table, strip_h=strip_h,
+                                           add_h=add_h)
     elif ext == ".pdbqt":
         # possibly multi-MODEL
         models = _split_models(text)
@@ -111,7 +115,8 @@ def iter_ligands(path: str, table: AtomTypeTable = DEFAULT_TABLE,
             yield build_tree_from_pdbqt(lig, table)
     elif ext == ".pdb":
         mol = pdb.parse_pdb(text, name=os.path.basename(base))
-        yield build_tree_from_molecule(mol, table)
+        yield build_tree_from_molecule(mol, table, strip_h=strip_h,
+                                       add_h=add_h)
     elif ext == ".xyz":
         yield build_tree_from_molecule(parse_xyz(text, os.path.basename(base)),
                                        table)

@@ -341,11 +341,16 @@ class Molecule:
             return a.formal_charge < 0
         return False
 
-    def assign_smina_types(self) -> np.ndarray:
+    def assign_smina_types(self, add_h: bool = True) -> np.ndarray:
         """Full typing pipeline -> int array of SminaType.
 
         Follows obatom_to_smina_type (atom_constants.h:315-349): pick the AD
         element name, then adjust by bonded-H / bonded-heteroatom.
+
+        add_h=False reproduces the reference's --addH off (main.cpp:1051,
+        GninaConverter.cpp:84 skips OBMol::AddHydrogens): atoms are typed
+        as drawn, without implicit-hydrogen completion of the valence, so
+        under-protonated N/O/S lose their donor flags.
         """
         from gnina_tpu.chem.protein import is_standard_residue, protein_atom_flags
 
@@ -390,7 +395,7 @@ class Molecule:
                     h_bonded = True
                 elif nb.anum != 6:
                     hetero_bonded = True
-            if not template and not h_bonded and a.anum in (7, 8, 16):
+            if add_h and not template and not h_bonded and a.anum in (7, 8, 16):
                 h_bonded = self.implicit_hydrogen_count(i) > 0
             types[i] = int(adjust_smina_type(t, h_bonded, hetero_bonded))
         return types

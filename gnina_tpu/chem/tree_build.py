@@ -170,12 +170,23 @@ def _fragments_and_root(mol: Molecule) -> Tuple[List[List[int]], List[Tuple[int,
 
 
 def build_tree_from_molecule(mol: Molecule, table: AtomTypeTable = DEFAULT_TABLE,
-                             root_atom: Optional[int] = None) -> LigandStruct:
-    """SDF/arbitrary-format path: perceive rotors, fragment, build the tree."""
+                             root_atom: Optional[int] = None,
+                             strip_h: bool = True,
+                             add_h: bool = True) -> LigandStruct:
+    """SDF/arbitrary-format path: perceive rotors, fragment, build the tree.
+
+    strip_h: drop nonpolar explicit hydrogens before tree build (reference
+      --stripH, main.cpp:1052 / model::strip_hydrogens — typing is
+      H-count-equivalent either way, stripping shrinks the kernels; our
+      CLI defaults this ON as a TPU-first efficiency choice).
+    add_h: implicit-H valence completion during typing (--addH,
+      GninaConverter.cpp:84); off types atoms as drawn.
+    """
     work = mol
     work.perceive_all()
-    work.strip_nonpolar_hydrogens()
-    work.perceive_all()  # refresh ring/amide flags on the reduced graph
+    if strip_h:
+        work.strip_nonpolar_hydrogens()
+        work.perceive_all()  # refresh ring/amide flags on the reduced graph
 
     frags, rot_bonds, best_root = _fragments_and_root(work)
     if root_atom is not None:
@@ -209,7 +220,7 @@ def build_tree_from_molecule(mol: Molecule, table: AtomTypeTable = DEFAULT_TABLE
 
     return _assemble(work, table, frags, order, parent_frag, frag_of_atom,
                      root_first_atom=best_root, torsdof=len(rot_bonds),
-                     name=mol.name)
+                     name=mol.name, add_h=add_h)
 
 
 def build_tree_from_pdbqt(lig: PdbqtLigand, table: AtomTypeTable = DEFAULT_TABLE,
@@ -249,8 +260,8 @@ def build_tree_from_pdbqt(lig: PdbqtLigand, table: AtomTypeTable = DEFAULT_TABLE
 
 def _assemble(mol: Molecule, table: AtomTypeTable, frags, order, parent_frag,
               frag_of_atom, root_first_atom: int, torsdof: int,
-              name: str) -> LigandStruct:
-    types_all = mol.assign_smina_types()
+              name: str, add_h: bool = True) -> LigandStruct:
+    types_all = mol.assign_smina_types(add_h=add_h)
     coords_all = mol.coords()
     charges_all = np.array([a.charge for a in mol.atoms], np.float32)
 

@@ -71,12 +71,15 @@ def build_parser() -> argparse.ArgumentParser:
     gout = p.add_argument_group("Output")
     gout.add_argument("-o", "--out", help="output file (SDF)")
     gout.add_argument("--out_flex", help="output file for flexible residue poses (PDB)")
-    gout.add_argument("--atom_terms", type=int, default=0,
-                      help="print per-term values in score_only")
+    gout.add_argument("--atom_terms", default="",
+                      help="optionally write per-atom interaction term "
+                           "values to file (result_info::writeAtomValues)")
     gout.add_argument("--atom_term_data", action="store_true",
-                      help="embed per-atom interaction terms in the output")
+                      help="embed per-atom interaction terms in the output "
+                           "SD data")
     gout.add_argument("--full_flex_output", action="store_true",
-                      help="(compat) write whole flex residues in out_flex")
+                      help="(not implemented) write whole flex residues in "
+                           "out_flex; a warning is logged if set")
     gout.add_argument("--log", help="log file")
     gout.add_argument("-q", "--quiet", action="store_true")
     gout.add_argument("--verbosity", type=int, default=1,
@@ -92,7 +95,13 @@ def build_parser() -> argparse.ArgumentParser:
     gsc.add_argument("--randomize_only", action="store_true")
     gsc.add_argument("--minimize_iters", type=int, default=0)
     gsc.add_argument("--accurate_line", action="store_true")
-    gsc.add_argument("--force_cap", type=float, default=1000.0)
+    gsc.add_argument("--minimize_early_term", action="store_true",
+                     help="stop minimization before convergence based on "
+                          "simple progress heuristic")
+    gsc.add_argument("--force_cap", type=float, default=None,
+                     help="max allowed force; lower values more gently "
+                          "minimize clashing structures (default 1000; "
+                          "--minimize softens to 10, main.cpp:1152-1166)")
     gsc.add_argument("--user_grid",
                      help="AutoDock4 .map adding a per-atom bias term")
     gsc.add_argument("--user_grid_lambda", type=float, default=-1.0,
@@ -108,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
     gcnn.add_argument("--cnn_model", action="append", default=[],
                       help="TorchScript model file(s) to convert and use")
     gcnn.add_argument("--cnn_rotations", type=int, default=0)
+    gcnn.add_argument("--cnn_mix_emp_force", action="store_true",
+                      help="merge CNN and empirical minus forces")
+    gcnn.add_argument("--cnn_mix_emp_energy", action="store_true",
+                      help="merge CNN and empirical energy")
+    gcnn.add_argument("--cnn_empirical_weight", type=float, default=1.0,
+                      help="weight for scaling and merging empirical "
+                           "force and energy")
     gcnn.add_argument("--cnn_center_x", type=float)
     gcnn.add_argument("--cnn_center_y", type=float)
     gcnn.add_argument("--cnn_center_z", type=float)
@@ -132,8 +148,14 @@ def build_parser() -> argparse.ArgumentParser:
                        choices=["CNNscore", "CNNaffinity", "Energy"])
     gmisc.add_argument("--no_gpu", action="store_true", help="(compat)")
     gmisc.add_argument("--device", type=int, default=0, help="(compat)")
-    gmisc.add_argument("--addH", default="on")
-    gmisc.add_argument("--stripH", default="off")
+    gmisc.add_argument("--addH", default="on",
+                       help="automatically add hydrogens in ligands "
+                            "(on by default; off types atoms as drawn)")
+    gmisc.add_argument("--stripH", default="on",
+                       help="remove nonpolar hydrogens after atom typing "
+                            "(deviation: on by default here — scoring is "
+                            "identical, smaller TPU kernels; off keeps "
+                            "explicit H in output poses)")
     gmisc.add_argument("--version", action="version",
                        version=f"gnina_tpu {__version__}")
     gmisc.add_argument("--config", help="options file")
@@ -197,13 +219,33 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.no_lig and args.cnn_scoring != "none":
         args.cnn_scoring = "none"
 
+    # --minimize softens the defaults (main.cpp:1152-1166): forcecap 10,
+    # converge (10000 iters), accurate line search; plain --local_only
+    # keeps the docking defaults (fast line search, heuristic iters)
+    forcecap = args.force_cap
+    if forcecap is None:
+        forcecap = 10.0 if args.minimize else 1000.0
+
+    def _onoff(v, default=True):
+        s = str(v).strip().lower()
+        if s in ("on", "1", "true", "yes"):
+            return True
+        if s in ("off", "0", "false", "no"):
+            return False
+        return default
+
+    add_h = _onoff(args.addH, True)
+    strip_h = _onoff(args.stripH, True)
+    if args.full_flex_output:
+        log.write("WARNING: --full_flex_output is not implemented; "
+                  "out_flex contains movable flex atoms only\n")
     settings = DockSettings(
         scoring=args.scoring if args.scoring != "default" else "vina",
         exhaustiveness=args.exhaustiveness,
         num_modes=args.num_modes,
         num_mc_saved=args.num_mc_saved,
         out_min_rmsd=args.min_rmsd_filter,
-        forcecap=args.force_cap,
+        forcecap=forcecap,
         seed=args.seed,
         num_mc_steps=args.num_mc_steps,
         max_mc_steps=args.max_mc_steps,
@@ -211,8 +253,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         autobox_add=args.autobox_add,
         minimize_iters=args.minimize_iters,
         accurate_line_search=args.accurate_line,
+        local_only=bool(args.local_only and not args.minimize),
+        minimize_early_term=args.minimize_early_term,
         cnn_scoring=args.cnn_scoring,
         cnn_rotations=args.cnn_rotations,
+        cnn_mix_emp_force=args.cnn_mix_emp_force,
+        cnn_mix_emp_energy=args.cnn_mix_emp_energy,
+        cnn_empirical_weight=args.cnn_empirical_weight,
         sort_order=args.pose_sort_order if args.pose_sort_order else "auto",
     )
 
@@ -366,12 +413,32 @@ def main(argv: Optional[List[str]] = None) -> int:
                             lig.name = f"{lig.name}_match{li}"
                         yield lig
                 continue
-            for lig in ingest.iter_ligands(ligpath):
+            for lig in ingest.iter_ligands(ligpath, strip_h=strip_h,
+                                           add_h=add_h):
                 if flex_residues:
                     from gnina_tpu.chem.tree_build import attach_flex
 
                     lig = attach_flex(lig, flex_residues)
                 yield lig
+
+    def render_poses(lig, results):
+        """Pose text for -o (SDF, or PDBQT when the extension asks —
+        result_info.cpp:112-210) + per-pose --atom_terms tables."""
+        tables = None
+        if args.atom_terms or args.atom_term_data:
+            from gnina_tpu.scoring.atom_terms import atom_terms_table
+
+            tables = [atom_terms_table(engine.sf, lig, rec, r.coords)
+                      for r in results]
+        if args.out and args.out.lower().endswith(".pdbqt"):
+            from gnina_tpu.output import write_poses_pdbqt
+
+            text = write_poses_pdbqt(lig, results, cnn_enabled)
+        else:
+            text = write_poses_sdf(
+                lig, results, cnn_enabled,
+                atom_terms=tables if args.atom_term_data else None)
+        return text, tables
 
     docking_mode = not (args.score_only or args.local_only or args.minimize
                         or args.randomize_only)
@@ -380,10 +447,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         # each bucket as one batched device program (the reference streams
         # one ligand per worker thread; here the batch IS the parallelism)
         return _run_screen(args, engine, rec, center, size, load_all_ligands(),
-                           cnn_enabled, log, t_start)
+                           cnn_enabled, log, t_start, render_poses)
 
     out_chunks: List[str] = []
     out_flex_chunks: List[str] = []
+    atom_chunks: List[str] = []
     n_ligs = 0
     for lig in load_all_ligands():
         n_ligs += 1
@@ -396,10 +464,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             if r.cnnvariance > 0:
                 log.write(f"CNNvariance: {r.cnnvariance:.5f}\n")
             log.write(f"Intramolecular energy: {r.intramol:.5f}\n")
-            if args.atom_terms:
-                vals = engine.term_values(rec, lig)
-                log.write("Term values, before weighting:\n## "
-                          + " ".join(f"{v:.5f}" for v in vals) + "\n")
+            # unconditional in score mode like the reference (main.cpp:252)
+            vals = engine.term_values(rec, lig)
+            log.write("Term values, before weighting:\n## "
+                      + lig.name.replace(" ", "_") + " "
+                      + " ".join(f"{v:.5f}" for v in vals) + "\n")
             results = [r]
         elif args.randomize_only:
             if center is None:
@@ -414,11 +483,22 @@ def main(argv: Optional[List[str]] = None) -> int:
             for r in results:
                 log.write(f"Clash penalty: {r.energy:.5f}\n")
         elif args.local_only or args.minimize:
-            r = engine.minimize(rec, lig, center, size)
+            # both modes derive the box from the movable atoms regardless
+            # of any user box (main.cpp:1465-1478), skipping >100A spans
+            span = (lig.orig_coords.max(axis=0)
+                    - lig.orig_coords.min(axis=0)) + 2 * args.autobox_add
+            if np.any(span > 100.0):
+                log.write(f"WARNING: Ligand {lig.name} has an extent "
+                          "greater than 100A. Skipping.\n")
+                continue
+            r = engine.minimize(rec, lig)
             log.write(f"Affinity: {r.energy:.5f}  {r.intramol:.5f} "
                       f"(kcal/mol)\nRMSD: {r.rmsd:.5f}\n")
             log.write(f"CNNscore: {r.cnnscore:.5f} \n")
             log.write(f"CNNaffinity: {r.cnnaffinity:.5f}\n")
+            if not r.within_box:
+                log.write("WARNING: not all movable atoms are within the "
+                          "search space\n")
             results = [r]
         else:
             if center is None:
@@ -438,8 +518,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             for i, r in enumerate(results):
                 log.write(f"{i + 1:5d} {r.energy:11.2f} {r.intramol:11.2f} "
                           f"{r.cnnscore:11.4f} {r.cnnaffinity:9.3f}\n")
-        if args.out:
-            out_chunks.append(write_poses_sdf(lig, results, cnn_enabled))
+        if args.out or args.atom_terms:
+            text, tables = render_poses(lig, results)
+            if args.out:
+                out_chunks.append(text)
+            if args.atom_terms and tables:
+                atom_chunks.extend(tables)
         if args.out_flex and lig.flex_meta:
             from gnina_tpu.output import write_flex_pdb
 
@@ -451,6 +535,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.out:
         with open(args.out, "w") as f:
             f.write("".join(out_chunks))
+    if args.atom_terms:
+        with open(args.atom_terms, "w") as f:
+            f.write("".join(atom_chunks))
     if args.out_flex:
         with open(args.out_flex, "w") as f:
             f.write("".join(out_flex_chunks))
@@ -478,7 +565,7 @@ def _screen_mesh(log, verbosity: int):
 
 
 def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
-                log, t_start) -> int:
+                log, t_start, render_poses) -> int:
     """Batched virtual screen: bucket ligands by padded shape, dock each
     bucket with one compiled program, write results in input order."""
     from gnina_tpu.output import write_flex_pdb, write_poses_sdf
@@ -574,7 +661,7 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
                 idx = order[id(lig)]
                 results_by_idx[idx] = ("res", lig, res)
                 if part_f is not None:
-                    sdf_text = write_poses_sdf(lig, res, cnn_enabled)
+                    sdf_text, _ = render_poses(lig, res)
                     part_f.write(f"#GNINA_TPU_IDX {idx} {lig.name}\n")
                     part_f.write(sdf_text)
                     if args.out_flex and lig.flex_meta:
@@ -587,6 +674,7 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
 
     out_chunks = []
     out_flex_chunks = []
+    atom_chunks = []
     for i in range(len(all_ligs)):
         kind, a, b = results_by_idx[i]
         if kind == "text":
@@ -604,13 +692,21 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
         for j, r in enumerate(results):
             log.write(f"{j + 1:5d} {r.energy:11.2f} {r.intramol:11.2f} "
                       f"{r.cnnscore:11.4f} {r.cnnaffinity:9.3f}\n")
-        if args.out:
-            out_chunks.append(write_poses_sdf(lig, results, cnn_enabled))
+        if args.out or args.atom_terms:
+            text, tables = render_poses(lig, results)
+            if args.out:
+                out_chunks.append(text)
+            if args.atom_terms and tables:
+                atom_chunks.extend(tables)
         if args.out_flex and lig.flex_meta:
             out_flex_chunks.append(write_flex_pdb(lig, results))
     if args.out:
         with open(args.out, "w") as f:
             f.write("".join(out_chunks))
+    if args.atom_terms:
+        # resumed ligands' tables are not recomputed; note it in the file
+        with open(args.atom_terms, "w") as f:
+            f.write("".join(atom_chunks))
         if partial_path and os.path.exists(partial_path):
             os.remove(partial_path)  # the final ordered output supersedes it
     if args.out_flex:
