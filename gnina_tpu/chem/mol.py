@@ -368,6 +368,18 @@ class Molecule:
                 t = string_to_smina_type(a.ad_name)
                 if t is None:
                     t = SminaType.GenericMetal
+            elif a.anum == 0:
+                # No-element atoms (SDF "*" / R-group dummies): the reference
+                # blanks the non-alphanumeric symbol and maps the empty name
+                # to NumTypes, then downgrades to Hydrogen ("ignore",
+                # PDBQTUtilities.cpp:402-427).  Typed Hydrogen, the atom is
+                # excluded from every scoring term, num_tors, and pair lists,
+                # and (because covalent_radius(H)=0.37) the reference's
+                # distance-based assign_bonds never bonds it to its
+                # neighbours either -- see the anum==0 skip in the
+                # hetero_bonded loop below.
+                types[i] = int(SminaType.Hydrogen)
+                continue
             else:
                 aromatic = a.aromatic or tmpl_aromatic
                 acceptor = tmpl_acceptor if template else self._is_hbond_acceptor(i)
@@ -393,7 +405,11 @@ class Molecule:
                 nb = self.atoms[j]
                 if nb.anum == 1:
                     h_bonded = True
-                elif nb.anum != 6:
+                elif nb.anum != 6 and nb.anum != 0:
+                    # anum==0 neighbours are typed Hydrogen ("ignored",
+                    # PDBQTUtilities.cpp:423-427) and never get a model bond
+                    # in the reference (H covalent radius), so they must not
+                    # demote carbons to NonHydrophobe.
                     hetero_bonded = True
             if add_h and not template and not h_bonded and a.anum in (7, 8, 16):
                 h_bonded = self.implicit_hydrogen_count(i) > 0

@@ -225,15 +225,25 @@ def build_tree_from_molecule(mol: Molecule, table: AtomTypeTable = DEFAULT_TABLE
 
 def build_tree_from_pdbqt(lig: PdbqtLigand, table: AtomTypeTable = DEFAULT_TABLE,
                           fix_rotable_hydrogens: bool = True) -> LigandStruct:
-    """PDBQT path: the BRANCH records already define the tree."""
+    """PDBQT path: the BRANCH records already define the tree.
+
+    fix_rotable_hydrogens=False is the reference's --flex_hydrogens
+    (main.cpp:1003,1150 -> set_fixed_rotable_hydrogens): hydrogen-only
+    leaf branches stay mobile (parsing.h:214 mobile_hydrogens_only) and
+    terminal polar-H rotors count toward num_tors (terms.cpp:63).  The
+    flag only applies to PDBQT ligands: the SDF/OB path force-fixes
+    (PDBQTUtilities.cpp:460 OutputTree)."""
     mol = lig.mol
     frags: List[List[int]] = [list(lig.root_atoms)]
     parent_frag: Dict[int, Tuple[int, int, int]] = {0: (-1, -1, -1)}
     order = [0]
 
     def walk(br: PdbqtBranch, parent_idx: int):
-        # freeze hydrogen-only branches (parse_pdbqt fix_hydrogens behavior)
-        all_h = all(mol.atoms[i].anum == 1 for i in br.atoms)
+        # freeze branches whose MOBILE atoms are all hydrogens (e.g. -OH:
+        # the branch-anchor O sits on the axis and is immobile, so it is
+        # exempt from the check — parsing.h:214-224 mobile_hydrogens_only)
+        mobile = [i for i in br.atoms if i != br.my_serial]
+        all_h = bool(mobile) and all(mol.atoms[i].anum == 1 for i in mobile)
         if all_h and fix_rotable_hydrogens and not br.children:
             frags[parent_idx].extend(br.atoms)
             return
@@ -255,12 +265,14 @@ def build_tree_from_pdbqt(lig: PdbqtLigand, table: AtomTypeTable = DEFAULT_TABLE
     root_first = lig.root_atoms[0] if lig.root_atoms else 0
     return _assemble(mol, table, frags, order, parent_frag, frag_of_atom,
                      root_first_atom=root_first, torsdof=lig.torsdof,
-                     name=mol.name)
+                     name=mol.name,
+                     fixed_rotable_hydrogens=fix_rotable_hydrogens)
 
 
 def _assemble(mol: Molecule, table: AtomTypeTable, frags, order, parent_frag,
               frag_of_atom, root_first_atom: int, torsdof: int,
-              name: str, add_h: bool = True) -> LigandStruct:
+              name: str, add_h: bool = True,
+              fixed_rotable_hydrogens: bool = True) -> LigandStruct:
     types_all = mol.assign_smina_types(add_h=add_h)
     coords_all = mol.coords()
     charges_all = np.array([a.charge for a in mol.atoms], np.float32)
@@ -336,7 +348,9 @@ def _assemble(mol: Molecule, table: AtomTypeTable, frags, order, parent_frag,
     new_mol.invalidate()
 
     pairs = _interacting_pairs(new_mol, types, node_id, parent_anchor)
-    ci = _conf_independent_inputs(new_mol, types, rot_pairs, table, order, parent_frag, frag_rank)
+    ci = _conf_independent_inputs(new_mol, types, rot_pairs, table, order,
+                                  parent_frag, frag_rank,
+                                  fixed_rotable_hydrogens)
 
     return LigandStruct(
         name=name,
@@ -566,11 +580,17 @@ def _interacting_pairs(mol: Molecule, types, node_id, parent_anchor) -> np.ndarr
 
 
 def _conf_independent_inputs(mol: Molecule, types, rot_pairs, table,
-                             order, parent_frag, frag_rank) -> dict:
+                             order, parent_frag, frag_rank,
+                             fixed_rotable_hydrogens: bool = True) -> dict:
     """num_tors / heavy counts / branch metrics (terms.cpp:74-106,
     model.cpp:435-462)."""
     hyd = IS_HYDROGEN[types]
-    heavy_deg = [mol.heavy_degree(i) for i in range(len(types))]
+    # degree over non-hydrogen-TYPED neighbours: the reference counts via
+    # model bonds where is_hydrogen(type) excludes the atom
+    # (terms.cpp:39-48 num_bonded_heavy_atoms); atoms typed Hydrogen by the
+    # "ignore" rule (e.g. SDF "*" dummies) must not count as heavy here.
+    heavy_deg = [sum(1 for j in mol.neighbors(i) if not hyd[j])
+                 for i in range(len(types))]
 
     num_tors = 0.0
     for i in range(len(types)):
@@ -579,7 +599,11 @@ def _conf_independent_inputs(mol: Molecule, types, rot_pairs, table,
         ar = 0
         for j in mol.neighbors(i):
             key = (min(i, j), max(i, j))
-            if key in rot_pairs and not hyd[j] and heavy_deg[j] > 1 and heavy_deg[i] > 1:
+            # terms.cpp:60-66 atom_rotors: the far end must be a heavy
+            # rotor hub; the near end's heavy-degree test is waived under
+            # --flex_hydrogens (!get_fixed_rotable_hydrogens, terms.cpp:63)
+            if (key in rot_pairs and not hyd[j] and heavy_deg[j] > 1
+                    and (heavy_deg[i] > 1 or not fixed_rotable_hydrogens)):
                 ar += 1
         num_tors += 0.5 * ar
 

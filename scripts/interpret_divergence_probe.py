@@ -41,8 +41,7 @@ def main():
     from gnina_tpu.scoring.builtin import get_scoring_function
     from gnina_tpu.types import Box, Conf
 
-    data = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "tests", "data")
+    data = "/root/reference/test/gnina/data"
     rec = ingest.Receptor.from_file(f"{data}/noelem_rec.pdb")
     mol = list(sdf.iter_sdf(f"{data}/noelem.sdf"))[0]
     lig = build_tree_from_molecule(mol)

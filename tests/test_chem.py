@@ -99,3 +99,27 @@ def test_pdbqt_rigid_parse():
     assert np.abs(rec.charges).max() > 0.1
     # AD types respected: has polar hydrogens
     assert (rec.types == SminaType.PolarHydrogen).sum() > 50
+
+
+def test_noelem_star_ignored():
+    """SDF "*" atoms follow the reference's ignore semantics: typed
+    Hydrogen (PDBQTUtilities.cpp:423-427), excluded from num_tors, and
+    their carbon neighbours keep hydrophobe flags (no hetero demotion, as
+    assign_bonds never bonds them)."""
+    from gnina_tpu.chem import sdf
+    from gnina_tpu.chem.tree_build import build_tree_from_molecule
+    from gnina_tpu.constants import DEFAULT_TABLE, SminaType
+
+    mol = list(sdf.iter_sdf(
+        "/root/reference/test/gnina/data/noelem.sdf"))[0]
+    lig = build_tree_from_molecule(mol)
+    names = [DEFAULT_TABLE.smina_names[int(t)] for t in lig.types]
+    assert "GenericMetal" not in names
+    assert names.count("Hydrogen") == 1  # the "*" atom, nothing else
+    # its two carbon neighbours stay hydrophobic
+    assert "AliphaticCarbonXSHydrophobe" in names
+    # the isolated CH2 rotor drops out of num_tors (terms.cpp:52-71)
+    assert lig.num_tors == 0.0
+    # but the kinematic tree still has its 3 torsions (FindFragments runs
+    # on the full molecule, reference GninaConverter.cpp:110-115)
+    assert lig.num_torsions == 3

@@ -21,18 +21,21 @@ def noelem():
 
 
 def test_score_only_regression(noelem):
-    """Vina affinity well below zero on the noelem fixture (the reference
-    asserts < -8 with OpenBabel typing; our typing differs slightly)."""
+    """Reference regression anchor (test/gnina/test_gnina.py:54-65): Vina
+    AND vinardo affinity < -8 on the noelem fixture.  Requires the
+    reference's no-element "*" semantics: typed Hydrogen/ignored
+    (PDBQTUtilities.cpp:423-427), neighbours keep hydrophobe flags, and the
+    isolated CH2 rotor drops out of num_tors (terms.cpp:52-71)."""
     rec, lig = noelem
     eng = DockingEngine(DockSettings(cnn_scoring="none"))
     r = eng.score_only(rec, lig)
-    assert r.energy < -6.0
+    assert r.energy < -8.0
     assert np.isfinite(r.intramol)
 
-    # vinardo scores differently but also favorable
+    # vinardo scores differently but also < -8 (reference line 62-65)
     engv = DockingEngine(DockSettings(cnn_scoring="none", scoring="vinardo"))
     rv = engv.score_only(rec, lig)
-    assert rv.energy < -6.0
+    assert rv.energy < -8.0
     assert abs(rv.energy - r.energy) > 1e-3
 
 
