@@ -94,10 +94,14 @@ def parse_xyz(text: str, name: str = ""):
 
 def iter_ligands(path: str, table: AtomTypeTable = DEFAULT_TABLE,
                  keep_hydrogens: bool = True, strip_h: bool = True,
-                 add_h: bool = True) -> Iterator[LigandStruct]:
+                 add_h: bool = True,
+                 flex_hydrogens: bool = False) -> Iterator[LigandStruct]:
     """Stream ligands from SDF/MOL/PDBQT/PDB/XYZ files (multi-record aware).
 
-    strip_h/add_h: --stripH/--addH (see build_tree_from_molecule)."""
+    strip_h/add_h: --stripH/--addH (see build_tree_from_molecule).
+    flex_hydrogens: --flex_hydrogens — keep hydrogen-only PDBQT branches
+    mobile (reference main.cpp:1150; SDF input is force-fixed either way,
+    PDBQTUtilities.cpp:460)."""
     text = _read_text(path)
     base = path[:-3] if path.endswith(".gz") else path
     ext = os.path.splitext(base)[1].lower()
@@ -112,7 +116,8 @@ def iter_ligands(path: str, table: AtomTypeTable = DEFAULT_TABLE,
         models = _split_models(text)
         for i, mtext in enumerate(models):
             lig = pdbqt.parse_pdbqt_ligand(mtext, name=f"{os.path.basename(base)}_{i}")
-            yield build_tree_from_pdbqt(lig, table)
+            yield build_tree_from_pdbqt(
+                lig, table, fix_rotable_hydrogens=not flex_hydrogens)
     elif ext == ".pdb":
         mol = pdb.parse_pdb(text, name=os.path.basename(base))
         yield build_tree_from_molecule(mol, table, strip_h=strip_h,

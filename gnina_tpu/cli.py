@@ -156,6 +156,9 @@ def build_parser() -> argparse.ArgumentParser:
                             "(deviation: on by default here — scoring is "
                             "identical, smaller TPU kernels; off keeps "
                             "explicit H in output poses)")
+    gmisc.add_argument("--flex_hydrogens", action="store_true",
+                       help="leave rotatable hydrogen branches mobile "
+                            "(PDBQT ligands; main.cpp:1150)")
     gmisc.add_argument("--version", action="version",
                        version=f"gnina_tpu {__version__}")
     gmisc.add_argument("--config", help="options file")
@@ -414,7 +417,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                         yield lig
                 continue
             for lig in ingest.iter_ligands(ligpath, strip_h=strip_h,
-                                           add_h=add_h):
+                                           add_h=add_h,
+                                           flex_hydrogens=args.flex_hydrogens):
                 if flex_residues:
                     from gnina_tpu.chem.tree_build import attach_flex
 
