@@ -83,6 +83,41 @@ def main():
             "best_affinity": round(results[0].energy, 3) if results else None,
         },
     }
+    # recorded fused-vs-XLA search quality gate (scripts/tpu_path_parity.py
+    # writes PATH_PARITY.json; re-run it whenever the kernel changes)
+    pp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "PATH_PARITY.json")
+    if os.path.exists(pp):
+        with open(pp) as f:
+            out["detail"]["path_parity"] = json.load(f)
+
+    # optional secondary config (BASELINE.md config 5): a CNN-refinement
+    # screen.  Gated by env because its compile adds minutes to the
+    # default driver invocation; run with GNINA_TPU_BENCH_REFINE=1 and
+    # record the result in ROADMAP.md.
+    if os.environ.get("GNINA_TPU_BENCH_REFINE") == "1":
+        from gnina_tpu.models.scorer import CNNScorer
+
+        rsteps = int(os.environ.get("GNINA_TPU_BENCH_REFINE_STEPS", "128"))
+        engr = DockingEngine(
+            DockSettings(cnn_scoring="refinement", seed=42,
+                         num_mc_steps=rsteps),
+            cnn_scorer=CNNScorer(["fast"]))
+        t0 = time.time()
+        engr.dock_batch(rec, ligs[:8], center, size, seed=42)
+        first = time.time() - t0
+        t0 = time.time()
+        rres = engr.dock_batch(rec, ligs[:8], center, size, seed=43)
+        el = time.time() - t0
+        out["detail"]["refinement_screen"] = {
+            "config": f"10gs x8 batch, --cnn_scoring refinement (fast), "
+                      f"{rsteps} MC steps",
+            "wall_s": round(el, 2),
+            "first_call_s": round(first, 2),
+            "lig_per_s": round(8 / el, 4),
+            "best_cnn_score": round(max(
+                r.cnnscore for rr in rres for r in rr), 4) if rres else None,
+        }
     print(json.dumps(out))
 
 

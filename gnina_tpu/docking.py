@@ -91,13 +91,34 @@ class DockSettings:
     # Run the whole MC step loop (mutate + BFGS + metropolis, TPU PRNG)
     # inside the Mosaic kernel, fused_mc_steps steps per invocation; the
     # host folds the streamed candidates into the top-N container with one
-    # batched merge per invocation (mc.batch_merge_candidates).
-    fused_mc_in_kernel: bool = False
+    # batched merge per invocation (mc.batch_merge_candidates).  Default ON
+    # since round 3: measured A/B at 1024 steps x 128 lanes (10gs) gives
+    # equal-or-better wall (22.8 vs 23.8 s) and slightly better poses
+    # (mean best -8.43 vs -8.34) than per-step host-driven MC, with ~2x
+    # lower compile time.
+    fused_mc_in_kernel: bool = True
     # Steps per in-kernel MC invocation (also the full-v refinement
     # cadence of the best accepted candidate in that window).  Larger
     # values amortize kernel-launch + host-merge cost over more steps but
     # refine less often.
     fused_mc_steps: int = 16
+    # Armijo line-search schedule inside the fused kernel.  The lockstep
+    # loop pays the WORST lane's trial count every iteration (no per-lane
+    # exit on the VPU), so the default covers nearly the reference's alpha
+    # range (bfgs.h:73-91: 10 halvings to 2^-9) with half the trials:
+    # 5 trials at factor 4 reach 2^-8.  Measured on a v5e (ROADMAP table):
+    # 1.65x throughput at equal steps, mean best-pose -8.3 vs -8.4 at
+    # equal wall (within single-seed noise).  Reference-exact semantics:
+    # fused_ls_trials=10, fused_ls_factor=2.
+    fused_ls_trials: int = 5
+    fused_ls_factor: float = 4.0
+    # Per-lane asynchronous line search inside the fused kernel: every
+    # kernel tick is ONE fused value+grad eval with each lane at its own
+    # (iteration, trial) state, instead of the lockstep loop where every
+    # lane pays the worst lane's Armijo trial count per iteration.
+    # Per-lane trajectories (trial points, accepts, Hessian updates) are
+    # mathematically identical to the lockstep path.
+    fused_async_ls: bool = False
 
 
 @dataclasses.dataclass
@@ -754,7 +775,9 @@ class DockingEngine:
             dp = mesh.shape["dp"] if mesh is not None else 1
             prog_key = ("fused", fdims, n_hvy, chunk, miniters,
                         s.exhaustiveness, num_out, s.fused_done_frac,
-                        s.fused_mc_in_kernel, s.fused_mc_steps, dp)
+                        s.fused_mc_in_kernel, s.fused_mc_steps, dp,
+                        s.fused_ls_trials, s.fused_ls_factor,
+                        s.fused_async_ls)
         else:
             chunk = min(num_steps, max(32, base_chunk * 64 // max(lanes, 64)))
             fdims = None
@@ -767,18 +790,27 @@ class DockingEngine:
             if use_fused:
                 fused = pdk.FusedBfgs(self.sf, fused_pack, maxiters=miniters,
                                       want_metro=True, n_iter=n_hvy,
-                                      done_frac=s.fused_done_frac, shards=dp)
+                                      done_frac=s.fused_done_frac, shards=dp,
+                                      num_trials=s.fused_ls_trials,
+                                      ls_factor=s.fused_ls_factor,
+                                      async_ls=s.fused_async_ls)
                 fused_out = pdk.FusedBfgs(self.sf, fused_pack_out,
                                           maxiters=miniters,
                                           want_metro=False, n_iter=n_hvy,
                                           done_frac=s.fused_done_frac,
-                                          shards=dp)
+                                          shards=dp,
+                                          num_trials=s.fused_ls_trials,
+                                          ls_factor=s.fused_ls_factor,
+                                          async_ls=s.fused_async_ls)
                 if s.fused_mc_in_kernel:
                     mcs = max(int(s.fused_mc_steps) or 16, 1)
                     fused_mc = pdk.FusedBfgs(
                         self.sf, fused_pack, maxiters=miniters,
                         want_metro=True, n_iter=n_hvy,
-                        done_frac=s.fused_done_frac, mc_steps=mcs, shards=dp)
+                        done_frac=s.fused_done_frac, mc_steps=mcs, shards=dp,
+                        num_trials=s.fused_ls_trials,
+                        ls_factor=s.fused_ls_factor,
+                        async_ls=s.fused_async_ls)
             progs = self._build_dock_program(
                 max_layers, chunk, miniters, num_out, cnn_obj,
                 use_cnn_metro, use_cnn_refine, use_cnn_search,

@@ -289,7 +289,8 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                      l_total: int, maxiters: int, want_metro: bool,
                      interpret: bool = False, debug_grad: bool = False,
                      n_iter: int = 0, done_frac: float = 1.0,
-                     mc_steps: int = 0):
+                     mc_steps: int = 0, num_trials: int = NUM_TRIALS,
+                     ls_factor: float = 2.0, async_ls: bool = False):
     """Build the fused-BFGS callable.
 
     Returns fn(rigid0 (8,L), tors0 (M,L), scal (12,1), pack arrays...) ->
@@ -298,6 +299,7 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
     scal rows: [v_intra, v_inter, slope, v_metro, lo x3, hi x3, pad x2].
     """
     d = 6 + (m - 1)
+    _LOG2_FACTOR = float(np.log2(ls_factor))
     nblk = k // KB
     assert k % KB == 0, "receptor padding must be a multiple of KB"
     grid = l_total // LB
@@ -334,6 +336,14 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
         zrow_s[:] = rigid0[7:8, :] * 0.0
         cnt_s[0:1, :] = rigid0[7:8, :] * 0.0  # line-search trial evals
         cnt_s[1:2, :] = rigid0[7:8, :] * 0.0  # bfgs iterations executed
+        # gatom_s rows >= n_eval (hydrogens / alignment padding: zero
+        # energy, zero gradient) are never written by atom_body, but
+        # fk_backward reads ALL rows — uninitialized VMEM there is
+        # whatever the hardware left behind (interpret mode fills NaN,
+        # which poisoned every DOF gradient from the first eval; the
+        # ROADMAP "interpret-mode divergence" root cause).  Zero once.
+        for c3 in range(3):
+            gatom_s[c3] = jnp.zeros((n, LB), jnp.float32)
 
         def zrow():
             return zrow_s[:]
@@ -487,7 +497,11 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                     dy = ay_ - blk[:, 1:2]
                     dz = az_ - blk[:, 2:3]
                     r2 = dx * dx + dy * dy + dz * dz
-                    r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+                    # rsqrt: r and 1/r from one transcendental (the deriv
+                    # path's gr = de/r divide was a second one)
+                    r2c = jnp.maximum(r2, 1e-12)
+                    rinv = jax.lax.rsqrt(r2c)
+                    r = r2c * rinv
                     d_ = r - (rad_a + blk[:, 3:4])
                     fac_hyd = phi_a * blk[:, 4:5]
                     # h_bond_possible is a boolean OR (everything.h:479):
@@ -502,7 +516,7 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                     e_blk = jnp.where(valid, e1 + e2, 0.0)
                     e_a = e_a + jnp.sum(e_blk, axis=0, keepdims=True)
                     if want_deriv:
-                        gr = jnp.where(valid, (de1 + de2) / r, 0.0)
+                        gr = jnp.where(valid, (de1 + de2) * rinv, 0.0)
                         gx = gx + jnp.sum(gr * dx, axis=0, keepdims=True)
                         gy = gy + jnp.sum(gr * dy, axis=0, keepdims=True)
                         gz = gz + jnp.sum(gr * dz, axis=0, keepdims=True)
@@ -546,7 +560,9 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                 dy = cy - coords_s[1]
                 dz = cz - coords_s[2]
                 r2 = dx * dx + dy * dy + dz * dz
-                r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+                r2c = jnp.maximum(r2, 1e-12)
+                rinv = jax.lax.rsqrt(r2c)
+                r = r2c * rinv
                 d_ = r - (rad_a + ap[0])
                 fac_hyd = phi_a * ap[1]
                 fac_hb = jnp.minimum(don_a * ap[3] + acc_a * ap[2], 1.0)
@@ -559,7 +575,7 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                 e_tot = e_tot + 0.5 * jnp.sum(valid * e_p, axis=0,
                                               keepdims=True)
                 if want_deriv:
-                    gr = valid * de_p / r
+                    gr = valid * de_p * rinv
                     gatom_s[0, pl.ds(a, 1), :] += jnp.sum(
                         gr * dx, axis=0, keepdims=True)
                     gatom_s[1, pl.ds(a, 1), :] += jnp.sum(
@@ -681,7 +697,7 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
         # (bfgs.h gradient tolerance) has the same effect thread-locally.
         done_target = float(int(done_frac * LB))
 
-        def bfgs_run(rigid_in, tors_in):
+        def bfgs_run_lockstep(rigid_in, tors_in):
             """One full truncated-BFGS minimization of every lane; returns
             (rigid_out, tors_out, f_out) with the bfgs.h:491 restore."""
             f0_init, g_init = eval_fg(rigid_in, tors_in, True, v1, v0)
@@ -713,14 +729,18 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
             # legalize i1-vector scf.yield operands
             def ls_cond(ls):
                 t, acceptedf, *_ = ls
-                return jnp.logical_and(t < NUM_TRIALS,
+                return jnp.logical_and(t < num_trials,
                                        jnp.sum(acceptedf) < float(LB))
 
             def ls_body(ls):
                 t, acceptedf, srigid, stors, salpha, sf1 = ls
                 # keep alpha a (1, LB) vector: Mosaic cannot select between
                 # a replicated traced scalar and a lane vector
-                alpha = (jnp.exp2(-t.astype(jnp.float32))
+                # backtracking alpha = ls_factor^-t: factor 2 = reference
+                # bfgs.h:73-91 halvings; a coarser factor covers the same
+                # alpha range in fewer lockstep trials (every lane pays the
+                # worst lane's trial count on the VPU)
+                alpha = (jnp.exp2(-t.astype(jnp.float32) * _LOG2_FACTOR)
                          * jnp.ones((1, LB), jnp.float32))
                 trig, ttors = increment(rigid, tors, p, alpha)
                 f1, _ = eval_fg(trig, ttors, False, v1, v0)
@@ -736,7 +756,7 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
 
             # lanes with no descent direction (pg >= 0: converged, inert
             # padding, or masked-out DOF) can never satisfy Armijo; mark
-            # them accepted up front so they don't force all NUM_TRIALS
+            # them accepted up front so they don't force all num_trials
             # evaluations on every other lane (lockstep early exit)
             nodesc = jnp.maximum(donef, (pg >= 0.0).astype(jnp.float32))
             ls0 = (jnp.int32(0), nodesc, rigid, tors, zrow(), f0)
@@ -745,13 +765,30 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
             ones_row = jnp.ones((1, LB), jnp.float32)
             cnt_s[0:1, :] += t_end.astype(jnp.float32) * ones_row
             cnt_s[1:2, :] += ones_row
-            alpha = salpha + (1.0 - acceptedf) * (0.5 ** NUM_TRIALS - salpha)
+            # lanes that never satisfied Armijo take NO step (alpha=0,
+            # conf unchanged, y=0 -> ok_h skips the Hessian update)
+            # instead of the reference's deepest-trial fallback step
+            # (bfgs.h:84-90).  At 10 halvings the fallback step is tiny
+            # and harmless, but with the coarser trial schedules this
+            # kernel uses to cut worst-lane lockstep cost the fallback
+            # was a quality-destroying garbage step (A/B: trials=5
+            # factor=2 fell from -8.4 to -7.5 mean best because of it).
+            acc = acceptedf > 0.5
+            srigid = jnp.where(acc, srigid, rigid)
+            stors = jnp.where(acc, stors, tors)
+            sf1 = jnp.where(acc, sf1, f0)
+            alpha = jnp.where(acc, salpha, 0.0)
 
             _, g_new = eval_fg(srigid, stors, True, v1, v0)
             y = g_new - g                                    # (D, LB)
             f0_new = sf1
             gsq = jnp.sum(g_new * g_new, axis=0, keepdims=True)
-            donef_new = (gsq < 1e-4).astype(jnp.float32)
+            # a lane that exhausted every trial without an Armijo accept is
+            # deterministically stuck (no step -> same g, same H, same p,
+            # same trials next iteration): mark it done so it stops forcing
+            # the full trial count on every remaining lockstep iteration
+            donef_new = jnp.maximum((gsq < 1e-4).astype(jnp.float32),
+                                    1.0 - acceptedf)
 
             # first-step Hessian scaling (bfgs.h:481-486)
             yy = jnp.sum(y * y, axis=0, keepdims=True)
@@ -779,6 +816,111 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
 
             return (it + 1, srigid, stors, g_new, h_new, f0_new, donef_new)
 
+        # ---------------- async (per-lane) BFGS ---------------------------
+        # Same per-lane math as the lockstep loop — identical trial points,
+        # identical accept rule, identical Hessian updates — but each lane
+        # advances its OWN (iteration, trial) counters, so one fused
+        # value+grad eval per "tick" always does useful work on every lane.
+        # The lockstep loop pays the WORST lane's Armijo trial count per
+        # iteration (t_worst value evals + 1 grad eval, all lanes stalled);
+        # here a lane that accepts its first trial moves straight to its
+        # next iteration while a clashing lane keeps backtracking.  The
+        # gradient computed at a rejected trial point is discarded, making
+        # the per-tick eval ~1.3x a value-only eval — far cheaper than the
+        # (t_worst - t_lane) wasted lockstep evals it replaces.
+        def bfgs_run_async(rigid_in, tors_in):
+            f0_init, g_init = eval_fg(rigid_in, tors_in, True, v1, v0)
+            max_ticks = maxiters * num_trials + 1
+
+            def a_cond(st):
+                tick = st[0]
+                donef = st[8]
+                return jnp.logical_and(tick < max_ticks,
+                                       jnp.sum(donef) < done_target)
+
+            def a_body(st):
+                tick, rigid, tors, g, h, f0, tl, itl, donef = st
+                # direction from the lane's current (h, g); unchanged state
+                # on rejected lanes reproduces their previous direction
+                p = -hdotg(h, g) * dofm                      # (D, LB)
+                pg = jnp.sum(p * g, axis=0, keepdims=True)   # (1, LB)
+                # no descent direction -> this lane can never accept again
+                # (lockstep idles such lanes to maxiters; final state equal)
+                donef = jnp.maximum(donef, (pg >= 0.0).astype(jnp.float32))
+                active = donef < 0.5                          # (1, LB) bool
+
+                alpha = jnp.exp2(-tl * _LOG2_FACTOR)          # (1, LB)
+                trig, ttors = increment(rigid, tors, p, alpha)
+                f1, g1 = eval_fg(trig, ttors, True, v1, v0)
+
+                okb = jnp.logical_and((f1 - f0) < C0 * alpha * pg, active)
+                ok = okb.astype(jnp.float32)
+                cnt_s[0:1, :] += active.astype(jnp.float32)
+                cnt_s[1:2, :] += ok
+
+                # ----- accept path: BFGS update at the accepted point -----
+                y = g1 - g
+                yy = jnp.sum(y * y, axis=0, keepdims=True)
+                yp = jnp.sum(y * p, axis=0, keepdims=True)
+                # first-accepted-iteration Hessian scaling (bfgs.h:481-486)
+                scale = jnp.where(jnp.abs(yy) > EPSILON_FL,
+                                  alpha * yp / jnp.maximum(yy, EPSILON_FL),
+                                  1.0)
+                scale = jnp.where(scale == scale, scale, 1.0)
+                is0 = ok * (itl == 0.0).astype(jnp.float32)
+                h = h + is0 * (eye * scale[None, :, :] - h)
+
+                ok_h = jnp.logical_and(okb, (alpha * yp) >= EPSILON_FL)
+                mhy = -hdotg(h, y)
+                yhy = -jnp.sum(y * mhy, axis=0, keepdims=True)
+                r_ = 1.0 / jnp.maximum(alpha * yp, EPSILON_FL)
+                coef1 = (alpha * r_)[None, :, :]
+                coef2 = (alpha * alpha * (r_ * r_ * yhy + r_))[None, :, :]
+                outer = coef1 * (mhy[:, None, :] * p[None, :, :]
+                                 + p[:, None, :] * mhy[None, :, :])
+                outer = outer + coef2 * (p[:, None, :] * p[None, :, :])
+                gsq = jnp.sum(g1 * g1, axis=0, keepdims=True)
+                conv = (gsq < 1e-4).astype(jnp.float32)
+                itl_new = itl + ok
+                # done: converged, hit the lane's iteration budget, or
+                # exhausted every trial without an accept (the lockstep
+                # no-step fallback: deterministically stuck)
+                tl_rej = tl + 1.0
+                stuck = jnp.logical_and(active,
+                                        jnp.logical_and(~okb,
+                                                        tl_rej
+                                                        >= float(num_trials)))
+                donef_new = jnp.maximum(
+                    donef,
+                    jnp.maximum(ok * jnp.maximum(conv,
+                                                 (itl_new >= float(maxiters))
+                                                 .astype(jnp.float32)),
+                                stuck.astype(jnp.float32)))
+
+                use_h = jnp.logical_and(ok_h, donef_new < 0.5)[None, :, :]
+                h_new = jnp.where(use_h, h + outer, h)
+                rigid_n = jnp.where(okb, trig, rigid)
+                tors_n = jnp.where(okb, ttors, tors)
+                g_n = jnp.where(okb, g1, g)
+                f0_n = jnp.where(okb, f1, f0)
+                tl_n = jnp.where(okb, 0.0, jnp.where(active, tl_rej, tl))
+                return (tick + 1, rigid_n, tors_n, g_n, h_new, f0_n,
+                        tl_n, itl_new, donef_new)
+
+            st0 = (jnp.int32(0), rigid_in, tors_in, g_init, eye, f0_init,
+                   zrow(), zrow(), zrow())
+            st = jax.lax.while_loop(a_cond, a_body, st0)
+            rigid_f, tors_f, f_f = st[1], st[2], st[5]
+
+            # restore original if not improved (bfgs.h:491, NaN-safe)
+            improved = f_f <= f0_init
+            rigid_out = jnp.where(improved, rigid_f, rigid_in)
+            tors_out = jnp.where(improved, tors_f, tors_in)
+            f_out = jnp.where(improved, f_f, f0_init)
+            return rigid_out, tors_out, f_out
+
+        bfgs_run = bfgs_run_async if async_ls else bfgs_run_lockstep
+
         def metro_eval():
             """Inter-only energy at authentic v on coords_s (the search
             igrid's metropolis eval, parallel_mc.cpp:161-162)."""
@@ -803,7 +945,8 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                     dy = ay_ - blk[:, 1:2]
                     dz = az_ - blk[:, 2:3]
                     r2 = dx * dx + dy * dy + dz * dz
-                    r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+                    r2c = jnp.maximum(r2, 1e-12)
+                    r = r2c * jax.lax.rsqrt(r2c)
                     d_ = r - (rad_a + blk[:, 3:4])
                     fac_hyd = phi_a * blk[:, 4:5]
                     # h_bond_possible is a boolean OR (everything.h:479):
@@ -1075,7 +1218,8 @@ class FusedBfgs:
                  want_metro: bool = True, interpret: Optional[bool] = None,
                  debug_grad: bool = False, n_iter: int = 0,
                  done_frac: float = 1.0, mc_steps: int = 0,
-                 shards: int = 1):
+                 shards: int = 1, num_trials: int = NUM_TRIALS,
+                 ls_factor: float = 2.0, async_ls: bool = False):
         """shards > 1: the kernel is built for ONE shard of a lane axis
         laid out by build_pack(shards=...) and must be invoked inside a
         shard_map body with the pack's lane axis split over the mesh."""
@@ -1094,7 +1238,9 @@ class FusedBfgs:
         self.fn = make_bfgs_kernel(terms, n, m, ly, k, l, maxiters,
                                    want_metro, interpret=interpret,
                                    debug_grad=debug_grad, n_iter=n_iter,
-                                   done_frac=done_frac, mc_steps=mc_steps)
+                                   done_frac=done_frac, mc_steps=mc_steps,
+                                   num_trials=num_trials,
+                                   ls_factor=ls_factor, async_ls=async_ls)
 
     def scal(self, v_intra, v_inter, slope, v_metro, lo, hi,
              amplitude=2.0, temperature=1.2):

@@ -75,6 +75,87 @@ def node_fragments(lig) -> List[List[int]]:
     return list(frags.values())
 
 
+def bond_subgraph_fragments(lig, max_bonds: int = 6) -> List[List[int]]:
+    """Chemically meaningful fragments: every connected bond-subgraph of
+    the heavy-atom graph with 1..max_bonds bonds, plus hydrogens adjacent
+    to its atoms (reference cnn_visualization.cpp:789-870:
+    findAllSubgraphsOfLengthsMtoN(mol, 1, 6) + add_adjacent_hydrogens)."""
+    hyd = IS_HYDROGEN[lig.types]
+    bonds = [(b.a, b.b) for b in lig.mol.bonds
+             if not hyd[b.a] and not hyd[b.b]]
+    nb = len(bonds)
+    # bond adjacency (bonds sharing an atom)
+    adj: List[List[int]] = [[] for _ in range(nb)]
+    for i in range(nb):
+        for j in range(i + 1, nb):
+            if set(bonds[i]) & set(bonds[j]):
+                adj[i].append(j)
+                adj[j].append(i)
+
+    subgraphs = set()
+
+    def grow(current: frozenset, frontier):
+        if len(current) >= max_bonds:
+            return
+        for e in frontier:
+            nxt = current | {e}
+            if nxt not in subgraphs:
+                subgraphs.add(nxt)
+                new_frontier = [x for x in set(frontier) | set(adj[e])
+                                if x not in nxt]
+                grow(nxt, new_frontier)
+
+    for b in range(nb):
+        s = frozenset([b])
+        if s not in subgraphs:
+            subgraphs.add(s)
+            grow(s, [x for x in adj[b] if x != b])
+
+    # adjacency for hydrogen attachment
+    h_of = {}
+    for b in lig.mol.bonds:
+        if hyd[b.a] and not hyd[b.b]:
+            h_of.setdefault(b.b, []).append(b.a)
+        elif hyd[b.b] and not hyd[b.a]:
+            h_of.setdefault(b.a, []).append(b.b)
+
+    frags = []
+    for sg in sorted(subgraphs, key=lambda s: (len(s), sorted(s))):
+        atoms = set()
+        for e in sg:
+            atoms.update(bonds[e])
+        for a in list(atoms):
+            atoms.update(h_of.get(a, []))
+        frags.append(sorted(atoms))
+    return frags
+
+
+def averaged_fragment_scores(cnn, rec, lig, fragments: List[List[int]],
+                             coords: Optional[np.ndarray] = None,
+                             chunk: int = 128) -> np.ndarray:
+    """Per-atom attribution averaged over every fragment containing the
+    atom (reference remove_fragments score_diffs/score_counts), scored in
+    batched CNN forwards of `chunk` masked variants at a time."""
+    if coords is None:
+        coords = lig.orig_coords
+    base, _aff, _var = cnn.score_pose(rec, lig, coords)
+    diffs = np.zeros(lig.num_atoms, np.float64)
+    counts = np.zeros(lig.num_atoms, np.float64)
+    for lo in range(0, len(fragments), chunk):
+        part = fragments[lo:lo + chunk]
+        batch = np.tile(coords[None], (len(part), 1, 1))
+        for row, frag in enumerate(part):
+            for i in frag:
+                batch[row, i] = coords[i] + 1e4
+        scores, _a, _l, _v = cnn.score_poses(rec, lig, batch)
+        for row, frag in enumerate(part):
+            d = base - float(scores[row])
+            for i in frag:
+                diffs[i] += d
+                counts[i] += 1
+    return (diffs / np.maximum(counts, 1)).astype(np.float32)
+
+
 def write_colored_pdb(lig, scores: np.ndarray, path: str):
     from gnina_tpu.chem import elements as el
 
@@ -96,6 +177,9 @@ def main(argv=None) -> int:
     p.add_argument("--cnn", action="append", default=[])
     p.add_argument("--atoms_only", action="store_true")
     p.add_argument("--frags_only", action="store_true")
+    p.add_argument("--frag_bonds", type=int, default=6,
+                   help="max bonds per fragment subgraph (reference "
+                        "remove_fragments(6)); 0 = rigid tree nodes")
     p.add_argument("-o", "--out", default="gninavis")
     args = p.parse_args(argv)
 
@@ -108,7 +192,12 @@ def main(argv=None) -> int:
             s = atom_masking_scores(cnn, rec, lig)
             write_colored_pdb(lig, s, f"{args.out}_{idx}_atoms.pdb")
         if not args.atoms_only:
-            s = fragment_masking_scores(cnn, rec, lig, node_fragments(lig))
+            if args.frag_bonds > 0:
+                frags = bond_subgraph_fragments(lig, args.frag_bonds)
+                s = averaged_fragment_scores(cnn, rec, lig, frags)
+            else:
+                s = fragment_masking_scores(cnn, rec, lig,
+                                            node_fragments(lig))
             write_colored_pdb(lig, s, f"{args.out}_{idx}_frags.pdb")
     return 0
 

@@ -39,7 +39,8 @@ def main():
     from gnina_tpu.ops import mc_fused
     from gnina_tpu.ops import pallas_dock as pdk
     from gnina_tpu.scoring.builtin import get_scoring_function
-    from gnina_tpu.types import Box, Conf
+    from gnina_tpu.ops.energy import Box
+    from gnina_tpu.types import Conf
 
     data = "/root/reference/test/gnina/data"
     rec = ingest.Receptor.from_file(f"{data}/noelem_rec.pdb")
@@ -84,10 +85,12 @@ def main():
     box = Box(lo=jnp.asarray(lo, jnp.float32), hi=jnp.asarray(hi, jnp.float32))
 
     # ---- XLA reference: efn at hunt-cap v -------------------------------
-    max_layers = max(int(lig.layer.max()) if lig.num_nodes > 1 else 1, 1)
+    max_layers = _round_up(
+        max(int(lig.layer.max()) if lig.num_nodes > 1 else 1, 1), 4)
     n_pad = _round_up(lig.num_atoms, 8)
     m_pad = m
-    lig_d = pad_ligand(lig, n_pad, m_pad, sf.table)
+    lig_d = pad_ligand(lig, n_pad, m_pad,
+                       _round_up(max(len(lig.pairs), 1), 32))
     rec_d = pad_receptor(rc, rt, rq, kk)
     efn = eng._make_efn(max_layers)
     hunt = jnp.asarray([10.0, 10.0, 10.0], jnp.float32)
@@ -127,7 +130,9 @@ def main():
 
     # ---- trajectories ---------------------------------------------------
     print("\nmaxiters | XLA f | KERN f | KERN trials")
-    for it in (1, 2, 3, 5, 8, 13, 21):
+    # each maxiters value builds a distinct interpret kernel (~2-3 min
+    # compile on this 1-core host); keep the list short
+    for it in (1, 3, 8, 21):
         minpar = xbfgs.MinimizeParams(maxiters=it, type="fast",
                                       fused_trials=True)
         rx = xbfgs.bfgs(f, conf, minpar, dof_mask=jnp.asarray(dof_mask))
@@ -135,7 +140,9 @@ def main():
                              interpret=True,
                              n_iter=int((pack.heavy_idx >= 0).sum()))
         org, otr, st, _ = fker(rigid, tors, scal, pack=pack)
-        print(f"{it:8d} | {float(rx.f0):10.4f} | {float(st[1, 0]):10.4f} | "
+        # stats rows: 0 = f_out, 1 = e_metro (0: want_metro=False),
+        # 2 = line-search trial evals, 3 = bfgs iterations
+        print(f"{it:8d} | {float(rx.f0):10.4f} | {float(st[0, 0]):10.4f} | "
               f"{float(st[2, 0]):5.0f}")
 
 

@@ -50,11 +50,17 @@ def main():
 
     gap = abs(out["auto"]["mean_best"] - out["off"]["mean_best"])
     out["mean_best_gap"] = round(gap, 3)
+    out["steps"] = steps
     out["consistent"] = bool(gap < 0.7 and out["auto"]["n"] == 16
                              and out["off"]["n"] == 16
                              and out["auto"]["max_best"] < -5.0
                              and out["off"]["max_best"] < -5.0)
     print(json.dumps(out))
+    # persist for bench.py to embed as the recorded TPU quality gate
+    # (VERDICT r2 item 5: the gate must reach the bench artifact)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PATH_PARITY.json"), "w") as f:
+        json.dump(out, f)
 
 
 if __name__ == "__main__":

@@ -35,9 +35,11 @@ def test_fused_dock_end_to_end():
     rec = dataclasses.replace(rec, coords=rec.coords[keep],
                               types=rec.types[keep],
                               charges=rec.charges[keep])
+    # fused_mc_in_kernel=False: this test covers the per-step host-driven
+    # fused path (the in-kernel default is exercised by the test below)
     eng = DockingEngine(DockSettings(
         cnn_scoring="none", seed=3, num_mc_steps=24, exhaustiveness=2,
-        fused_search="on", refine_stride=4))
+        fused_search="on", refine_stride=4, fused_mc_in_kernel=False))
     results = eng.dock_batch(rec, [lig, lig], center, size, seed=3)
     assert len(results) == 2
     lo = np.asarray(center) - np.asarray(size) / 2 - 1.0
