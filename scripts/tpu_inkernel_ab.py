@@ -39,10 +39,12 @@ def main():
 
     trials = int(os.environ.get("AB_TRIALS", "10"))
     factor = float(os.environ.get("AB_FACTOR", "2.0"))
+    async_ls = os.environ.get("AB_ASYNC", "0") == "1"
     eng = DockingEngine(DockSettings(
         cnn_scoring="none", seed=1, num_mc_steps=steps, exhaustiveness=8,
         fused_search="on", fused_mc_in_kernel=(mode == "ink"),
-        fused_ls_trials=trials, fused_ls_factor=factor))
+        fused_ls_trials=trials, fused_ls_factor=factor,
+        fused_async_ls=async_ls))
 
     t0 = time.time()
     eng.dock_batch(rec, [lig] * nlig, center, size, seed=1)
@@ -54,7 +56,7 @@ def main():
     bests = [rr[0].energy for rr in res if rr]
     print(json.dumps({
         "mode": mode, "steps": steps, "nlig": nlig, "trials": trials,
-        "factor": factor,
+        "factor": factor, "async_ls": async_ls,
         "compile_s": round(compile_s, 1), "wall_s": round(wall, 2),
         "lig_per_s": round(nlig / wall, 4),
         "mean_best": round(float(np.mean(bests)), 3),
