@@ -462,14 +462,20 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
 
         # ---------------- energy (+ coordinate gradient) ------------------
         def energy(want_deriv, v_inter, v_intra):
-            """Reads coords_s; returns e_total (1,LB); writes gatom_s.
+            """Reads coords_s; returns (e_total, e_metro) (1,LB) rows;
+            writes gatom_s.
 
             Receptor part mirrors non_cache.cpp:127-180 (clamp, slope
             penalty, per-atom curl); intra mirrors model.cu:22-36
-            (per-pair curl at v_intra)."""
+            (per-pair curl at v_intra).  e_metro is the SAME raw per-atom
+            inter sums capped at v_metro instead of v_inter (the search
+            igrid's metropolis eval, parallel_mc.cpp:161-162) — folding it
+            here makes every BFGS eval carry the metropolis energy for
+            free, replacing the old full extra pair pass per MC step."""
             e_tot = zrow()
 
-            def atom_body(a, e_tot):
+            def atom_body(a, carry2):
+                e_tot, e_met = carry2
                 cx = coords_s[0, pl.ds(a, 1), :]
                 cy = coords_s[1, pl.ds(a, 1), :]
                 cz = coords_s[2, pl.ds(a, 1), :]
@@ -528,6 +534,11 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                 cap = e_a > 0.0
                 e_curl = jnp.where(cap, e_a * tmp, e_a)
                 e_tot = e_tot + heavy * (e_curl + slope * oob)
+                # metropolis twin: identical raw sums capped at v_metro
+                tmp_m = v_metro / jnp.maximum(
+                    v_metro + jnp.maximum(e_a, 0.0), EPSILON_FL)
+                e_curl_m = jnp.where(cap, e_a * tmp_m, e_a)
+                e_met = e_met + heavy * (e_curl_m + slope * oob)
 
                 if want_deriv:
                     gsc = jnp.where(cap, tmp * tmp, 1.0)
@@ -541,9 +552,10 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                         gy * gsc * iny + slope * jnp.sign(cy - ay_))
                     gatom_s[2, pl.ds(a, 1), :] = heavy * (
                         gz * gsc * inz + slope * jnp.sign(cz - az_))
-                return e_tot
+                return (e_tot, e_met)
 
-            e_tot = jax.lax.fori_loop(0, n_eval, atom_body, e_tot)
+            e_tot, e_met = jax.lax.fori_loop(0, n_eval, atom_body,
+                                             (e_tot, zrow()))
 
             # -- intra pairs: dense masked N x N -------------------------
             def intra_body(a, e_tot):
@@ -585,7 +597,7 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                 return e_tot
 
             e_tot = jax.lax.fori_loop(0, n_eval, intra_body, e_tot)
-            return e_tot
+            return e_tot, e_met
 
         # ---------------- FK backward: atom grads -> DOF grads ------------
         def fk_backward(fo, axl):
@@ -654,10 +666,10 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
 
         def eval_fg(rigid, tors, want_deriv, v_inter, v_intra):
             frames = fk(rigid, tors)
-            e = energy(want_deriv, v_inter, v_intra)
+            e, e_met = energy(want_deriv, v_inter, v_intra)
             if not want_deriv:
-                return e, None
-            return e, fk_backward(*frames)
+                return e, e_met, None
+            return e, e_met, fk_backward(*frames)
 
         # ---------------- conf increment ----------------------------------
         def increment(rigid, tors, p, alpha):
@@ -699,17 +711,20 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
 
         def bfgs_run_lockstep(rigid_in, tors_in):
             """One full truncated-BFGS minimization of every lane; returns
-            (rigid_out, tors_out, f_out) with the bfgs.h:491 restore."""
-            f0_init, g_init = eval_fg(rigid_in, tors_in, True, v1, v0)
+            (rigid_out, tors_out, f_out, met_out) with the bfgs.h:491
+            restore.  met_out is the metropolis energy at the returned
+            pose, carried through the evals (no extra pair pass)."""
+            f0_init, met_init, g_init = eval_fg(rigid_in, tors_in,
+                                                True, v1, v0)
 
             def bfgs_cond(st):
-                it, rigid, tors, g, h, f0, donef = st
+                it, rigid, tors, g, h, f0, met, donef = st
                 return jnp.logical_and(it < maxiters,
                                        jnp.sum(donef) < done_target)
 
             st0 = (jnp.int32(0), rigid_in, tors_in, g_init, eye,
-                   f0_init, zrow())
-            _, rigid_f, tors_f, _, _, f_f, _ = jax.lax.while_loop(
+                   f0_init, met_init, zrow())
+            _, rigid_f, tors_f, _, _, f_f, met_f, _ = jax.lax.while_loop(
                 bfgs_cond, bfgs_body, st0)
 
             # restore original if not improved (bfgs.h:491, NaN-safe)
@@ -717,10 +732,11 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
             rigid_out = jnp.where(improved, rigid_f, rigid_in)
             tors_out = jnp.where(improved, tors_f, tors_in)
             f_out = jnp.where(improved, f_f, f0_init)
-            return rigid_out, tors_out, f_out
+            met_out = jnp.where(improved, met_f, met_init)
+            return rigid_out, tors_out, f_out, met_out
 
         def bfgs_body(st):
-            it, rigid, tors, g, h, f0, donef = st
+            it, rigid, tors, g, h, f0, met, donef = st
             p = -hdotg(h, g) * dofm                         # (D, LB)
             pg = jnp.sum(p * g, axis=0, keepdims=True)       # (1, LB)
 
@@ -733,7 +749,7 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                                        jnp.sum(acceptedf) < float(LB))
 
             def ls_body(ls):
-                t, acceptedf, srigid, stors, salpha, sf1 = ls
+                t, acceptedf, srigid, stors, salpha, sf1, smet = ls
                 # keep alpha a (1, LB) vector: Mosaic cannot select between
                 # a replicated traced scalar and a lane vector
                 # backtracking alpha = ls_factor^-t: factor 2 = reference
@@ -743,7 +759,7 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                 alpha = (jnp.exp2(-t.astype(jnp.float32) * _LOG2_FACTOR)
                          * jnp.ones((1, LB), jnp.float32))
                 trig, ttors = increment(rigid, tors, p, alpha)
-                f1, _ = eval_fg(trig, ttors, False, v1, v0)
+                f1, fm1, _ = eval_fg(trig, ttors, False, v1, v0)
                 okf = ((f1 - f0) < C0 * alpha * pg).astype(jnp.float32)
                 upd = acceptedf < 0.5  # NaN-safe select, not a blend:
                 # 0 * non-finite trial values would poison the carry
@@ -751,16 +767,17 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                 stors = jnp.where(upd, ttors, stors)
                 salpha = jnp.where(upd, alpha, salpha)
                 sf1 = jnp.where(upd, f1, sf1)
+                smet = jnp.where(upd, fm1, smet)
                 return (t + 1, jnp.maximum(acceptedf, okf),
-                        srigid, stors, salpha, sf1)
+                        srigid, stors, salpha, sf1, smet)
 
             # lanes with no descent direction (pg >= 0: converged, inert
             # padding, or masked-out DOF) can never satisfy Armijo; mark
             # them accepted up front so they don't force all num_trials
             # evaluations on every other lane (lockstep early exit)
             nodesc = jnp.maximum(donef, (pg >= 0.0).astype(jnp.float32))
-            ls0 = (jnp.int32(0), nodesc, rigid, tors, zrow(), f0)
-            t_end, acceptedf, srigid, stors, salpha, sf1 = \
+            ls0 = (jnp.int32(0), nodesc, rigid, tors, zrow(), f0, met)
+            t_end, acceptedf, srigid, stors, salpha, sf1, smet = \
                 jax.lax.while_loop(ls_cond, ls_body, ls0)
             ones_row = jnp.ones((1, LB), jnp.float32)
             cnt_s[0:1, :] += t_end.astype(jnp.float32) * ones_row
@@ -777,9 +794,10 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
             srigid = jnp.where(acc, srigid, rigid)
             stors = jnp.where(acc, stors, tors)
             sf1 = jnp.where(acc, sf1, f0)
+            smet = jnp.where(acc, smet, met)
             alpha = jnp.where(acc, salpha, 0.0)
 
-            _, g_new = eval_fg(srigid, stors, True, v1, v0)
+            _, _, g_new = eval_fg(srigid, stors, True, v1, v0)
             y = g_new - g                                    # (D, LB)
             f0_new = sf1
             gsq = jnp.sum(g_new * g_new, axis=0, keepdims=True)
@@ -814,7 +832,8 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
             use_h = jnp.logical_and(ok_h, donef_new < 0.5)[None, :, :]
             h_new = jnp.where(use_h, h + outer, h)
 
-            return (it + 1, srigid, stors, g_new, h_new, f0_new, donef_new)
+            return (it + 1, srigid, stors, g_new, h_new, f0_new, smet,
+                    donef_new)
 
         # ---------------- async (per-lane) BFGS ---------------------------
         # Same per-lane math as the lockstep loop — identical trial points,
@@ -829,17 +848,18 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
         # the per-tick eval ~1.3x a value-only eval — far cheaper than the
         # (t_worst - t_lane) wasted lockstep evals it replaces.
         def bfgs_run_async(rigid_in, tors_in):
-            f0_init, g_init = eval_fg(rigid_in, tors_in, True, v1, v0)
+            f0_init, met_init, g_init = eval_fg(rigid_in, tors_in,
+                                                True, v1, v0)
             max_ticks = maxiters * num_trials + 1
 
             def a_cond(st):
                 tick = st[0]
-                donef = st[8]
+                donef = st[9]
                 return jnp.logical_and(tick < max_ticks,
                                        jnp.sum(donef) < done_target)
 
             def a_body(st):
-                tick, rigid, tors, g, h, f0, tl, itl, donef = st
+                tick, rigid, tors, g, h, f0, met, tl, itl, donef = st
                 # direction from the lane's current (h, g); unchanged state
                 # on rejected lanes reproduces their previous direction
                 p = -hdotg(h, g) * dofm                      # (D, LB)
@@ -851,7 +871,7 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
 
                 alpha = jnp.exp2(-tl * _LOG2_FACTOR)          # (1, LB)
                 trig, ttors = increment(rigid, tors, p, alpha)
-                f1, g1 = eval_fg(trig, ttors, True, v1, v0)
+                f1, fm1, g1 = eval_fg(trig, ttors, True, v1, v0)
 
                 okb = jnp.logical_and((f1 - f0) < C0 * alpha * pg, active)
                 ok = okb.astype(jnp.float32)
@@ -903,73 +923,35 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                 tors_n = jnp.where(okb, ttors, tors)
                 g_n = jnp.where(okb, g1, g)
                 f0_n = jnp.where(okb, f1, f0)
+                met_n = jnp.where(okb, fm1, met)
                 tl_n = jnp.where(okb, 0.0, jnp.where(active, tl_rej, tl))
                 return (tick + 1, rigid_n, tors_n, g_n, h_new, f0_n,
-                        tl_n, itl_new, donef_new)
+                        met_n, tl_n, itl_new, donef_new)
 
             st0 = (jnp.int32(0), rigid_in, tors_in, g_init, eye, f0_init,
-                   zrow(), zrow(), zrow())
+                   met_init, zrow(), zrow(), zrow())
             st = jax.lax.while_loop(a_cond, a_body, st0)
-            rigid_f, tors_f, f_f = st[1], st[2], st[5]
+            rigid_f, tors_f, f_f, met_f = st[1], st[2], st[5], st[6]
 
             # restore original if not improved (bfgs.h:491, NaN-safe)
             improved = f_f <= f0_init
             rigid_out = jnp.where(improved, rigid_f, rigid_in)
             tors_out = jnp.where(improved, tors_f, tors_in)
             f_out = jnp.where(improved, f_f, f0_init)
-            return rigid_out, tors_out, f_out
+            met_out = jnp.where(improved, met_f, met_init)
+            return rigid_out, tors_out, f_out, met_out
 
         bfgs_run = bfgs_run_async if async_ls else bfgs_run_lockstep
 
-        def metro_eval():
-            """Inter-only energy at authentic v on coords_s (the search
-            igrid's metropolis eval, parallel_mc.cpp:161-162)."""
-            def metro_body(a, acc):
-                cx = coords_s[0, pl.ds(a, 1), :]
-                cy = coords_s[1, pl.ds(a, 1), :]
-                cz = coords_s[2, pl.ds(a, 1), :]
-                heavy = ap[4, pl.ds(a, 1), :]
-                rad_a = ap[0, pl.ds(a, 1), :]
-                phi_a = ap[1, pl.ds(a, 1), :]
-                don_a = ap[2, pl.ds(a, 1), :]
-                acc_a = ap[3, pl.ds(a, 1), :]
-                ax_ = jnp.clip(cx, box_lo[0], box_hi[0])
-                ay_ = jnp.clip(cy, box_lo[1], box_hi[1])
-                az_ = jnp.clip(cz, box_lo[2], box_hi[2])
-                oob = (jnp.abs(cx - ax_) + jnp.abs(cy - ay_)
-                       + jnp.abs(cz - az_))
-                e_a = jnp.zeros((1, LB), jnp.float32)
-                for kb in range(nblk):
-                    blk = rec[kb * KB:(kb + 1) * KB, :]
-                    dx = ax_ - blk[:, 0:1]
-                    dy = ay_ - blk[:, 1:2]
-                    dz = az_ - blk[:, 2:3]
-                    r2 = dx * dx + dy * dy + dz * dz
-                    r2c = jnp.maximum(r2, 1e-12)
-                    r = r2c * jax.lax.rsqrt(r2c)
-                    d_ = r - (rad_a + blk[:, 3:4])
-                    fac_hyd = phi_a * blk[:, 4:5]
-                    # h_bond_possible is a boolean OR (everything.h:479):
-                    # clamp so donor+acceptor vs donor+acceptor pairs do
-                    # not double-count
-                    fac_hb = jnp.minimum(
-                        don_a * blk[:, 6:7] + acc_a * blk[:, 5:6], 1.0)
-                    e1, _ = pair_e(d_, False)
-                    e2, _ = ramp_terms(d_, fac_hyd, fac_hb, False)
-                    valid = jnp.logical_and(r2 < terms.cutoff_sqr,
-                                            blk[:, 7:8] > 0.0)
-                    e_a = e_a + jnp.sum(jnp.where(valid, e1 + e2, 0.0),
-                                        axis=0, keepdims=True)
-                e_a, _ = curl_pair(e_a, None, v_metro)
-                return acc + heavy * (e_a + slope * oob)
-
-            return jax.lax.fori_loop(0, n_eval, metro_body, zrow())
+        # NOTE: the metropolis energy (inter-only at v_metro,
+        # parallel_mc.cpp:161-162) is folded into energy() above — every
+        # BFGS eval carries it, so no separate pair pass is needed.
 
         if debug_grad:
             # test hook: dump the initial DOF gradient into out_coords
             rigid_in = rigid0[:]
             tors_in = tors0[:]
-            f0_init, g_init = eval_fg(rigid_in, tors_in, True, v1, v0)
+            f0_init, _, g_init = eval_fg(rigid_in, tors_in, True, v1, v0)
             out_rigid[:] = rigid_in
             out_tors[:] = tors_in
             out_stats[:] = jnp.concatenate(
@@ -982,12 +964,13 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
             return
 
         if not mc_steps:
-            rigid_out, tors_out, f_out = bfgs_run(rigid0[:], tors0[:])
+            rigid_out, tors_out, f_out, met_out = bfgs_run(rigid0[:],
+                                                           tors0[:])
             out_rigid[:] = rigid_out
             out_tors[:] = tors_out
             fk(rigid_out, tors_out)
             if want_metro:
-                e_metro = metro_eval()
+                e_metro = met_out
             else:
                 e_metro = jnp.zeros((1, LB), jnp.float32)
             stats = jnp.concatenate(
@@ -1089,9 +1072,8 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
             fk(rigid, tors)                     # coords for gyration radius
             gr = gyration(rigid)
             crigid, ctors = mutate(rigid, tors, gr)
-            nrigid, ntors_, f_out = bfgs_run(crigid, ctors)
-            fk(nrigid, ntors_)
-            e_new = metro_eval()
+            nrigid, ntors_, f_out, e_new = bfgs_run(crigid, ctors)
+            fk(nrigid, ntors_)              # coords for the candidate stream
             u = u01((1, LB))
             accept = jnp.logical_or(
                 e_new < e_cur,
