@@ -119,6 +119,16 @@ class DockSettings:
     # Per-lane trajectories (trial points, accepts, Hessian updates) are
     # mathematically identical to the lockstep path.
     fused_async_ls: bool = False
+    # Fully per-lane in-kernel MC (requires fused_mc_in_kernel): each lane
+    # runs its own (step, iteration, trial) state machine, removing even
+    # the per-MC-step BFGS barrier; candidates stream out at completion
+    # ticks and the host rebuilds their coordinates with the XLA FK twin.
+    # A lane gets at most fused_mc_steps*fused_mc_tick_budget fused evals
+    # per window; lanes that exhaust the budget carry their chain state
+    # into the next window (slightly fewer mutations for pathological
+    # clash lanes — the ones metropolis rejects anyway).
+    fused_async_mc: bool = False
+    fused_mc_tick_budget: int = 24
 
 
 @dataclasses.dataclass
@@ -777,7 +787,8 @@ class DockingEngine:
                         s.exhaustiveness, num_out, s.fused_done_frac,
                         s.fused_mc_in_kernel, s.fused_mc_steps, dp,
                         s.fused_ls_trials, s.fused_ls_factor,
-                        s.fused_async_ls)
+                        s.fused_async_ls, s.fused_async_mc,
+                        s.fused_mc_tick_budget)
         else:
             chunk = min(num_steps, max(32, base_chunk * 64 // max(lanes, 64)))
             fdims = None
@@ -810,7 +821,9 @@ class DockingEngine:
                         done_frac=s.fused_done_frac, mc_steps=mcs, shards=dp,
                         num_trials=s.fused_ls_trials,
                         ls_factor=s.fused_ls_factor,
-                        async_ls=s.fused_async_ls)
+                        async_ls=s.fused_async_ls,
+                        async_mc=s.fused_async_mc,
+                        tick_budget=s.fused_mc_tick_budget)
             progs = self._build_dock_program(
                 max_layers, chunk, miniters, num_out, cnn_obj,
                 use_cnn_metro, use_cnn_refine, use_cnn_search,

@@ -277,22 +277,59 @@ def fused_mc_chunk_inkernel(carry: mc.MCCarry, key, num_steps: int,
         ecur = carry.e[None, :]
         if l_pad > lanes:
             ecur = jnp.pad(ecur, ((0, 0), (0, l_pad - lanes)))
-        (frigid, ftors, fstats, fcoords, srig, stor, scoor,
-         sstat) = fused_mc.run_mc(rigid, tors, scal_hunt, seed, ecur,
-                                  pack=pack)
+        if fused_mc.async_mc:
+            # tick-indexed stream: candidates complete at per-lane ticks;
+            # compress the first S completed rows per lane to step order
+            # and rebuild their coordinates with the XLA twin of the
+            # kernel FK (the async stream carries conf only)
+            (frigid, ftors, fstats, fcoords, srig, stor,
+             sstat) = fused_mc.run_mc(rigid, tors, scal_hunt, seed, ecur,
+                                      pack=pack)
+            t_total = s_steps * fused_mc.tick_budget
+            arig = srig.reshape(t_total, 8, l_pad)
+            ator = stor.reshape(t_total, m, l_pad)
+            astat = sstat.reshape(t_total, 3, l_pad)
+            flag = astat[:, 2, :] > 0.5                   # (T, l_pad)
+            order = jnp.argsort(
+                jnp.where(flag, jnp.arange(t_total)[:, None],
+                          t_total + 1), axis=0)[:s_steps]  # (S, l_pad)
+            validp = jnp.take_along_axis(flag, order, axis=0)
+            crig_p = jnp.take_along_axis(arig, order[:, None, :], axis=0)
+            ctor_p = jnp.take_along_axis(ator, order[:, None, :], axis=0)
+            stat_p = jnp.take_along_axis(astat, order[:, None, :], axis=0)
+            # rows past the exit tick are uninitialized VMEM: neutralize
+            # before FK so garbage cannot poison downstream selects
+            ident = jnp.asarray([0, 0, 0, 1, 0, 0, 0, 0],
+                                jnp.float32).reshape(1, 8, 1)
+            safe = validp[:, None, :]
+            crig_p = jnp.where(safe, crig_p, ident)
+            ctor_p = jnp.where(safe, ctor_p, 0.0)
+            ccrd_p = jax.vmap(lambda r, t: pd.fk_packed(r, t, pack))(
+                crig_p, ctor_p)                           # (S, 3, N, l_pad)
+            validS = validp[..., :lanes]                  # (S, L)
+            crig = crig_p[..., :lanes]
+            ctor = ctor_p[..., :lanes]
+            ccrd = ccrd_p[..., :lanes]
+            cand_e = jnp.where(validS, stat_p[:, 0, :lanes], MAX_FL).T
+            accept = jnp.logical_and(stat_p[:, 1, :lanes] > 0.5,
+                                     validS).T            # (L, S)
+        else:
+            (frigid, ftors, fstats, fcoords, srig, stor, scoor,
+             sstat) = fused_mc.run_mc(rigid, tors, scal_hunt, seed, ecur,
+                                      pack=pack)
+
+            # candidate stream: (S, rows, L) slabs -> lane-major pytrees
+            crig = srig.reshape(s_steps, 8, l_pad)[..., :lanes]
+            ctor = stor.reshape(s_steps, m, l_pad)[..., :lanes]
+            cstat = sstat.reshape(s_steps, 2, l_pad)[..., :lanes]
+            ccrd = scoor.reshape(s_steps, 3, -1, l_pad)[..., :lanes]
+            cand_e = cstat[:, 0, :].T                     # (L, S)
+            accept = cstat[:, 1, :].T > 0.5               # (L, S)
 
         # final chain state comes straight from the kernel
         conf_f = pd.packed_to_conf(frigid[:, :lanes], ftors[:, :lanes], tp)
         e_f = fstats[0, :lanes]
         coords_f = scatter_batch(fcoords)
-
-        # candidate stream: (S, rows, L) slabs -> lane-major pytrees
-        crig = srig.reshape(s_steps, 8, l_pad)[..., :lanes]
-        ctor = stor.reshape(s_steps, m, l_pad)[..., :lanes]
-        cstat = sstat.reshape(s_steps, 2, l_pad)[..., :lanes]
-        ccrd = scoor.reshape(s_steps, 3, -1, l_pad)[..., :lanes]
-        cand_e = cstat[:, 0, :].T                         # (L, S)
-        accept = cstat[:, 1, :].T > 0.5                   # (L, S)
         cpos = jnp.transpose(crig[:, 0:3, :], (2, 0, 1))  # (L, S, 3)
         cquat = jnp.transpose(crig[:, 3:7, :], (2, 0, 1))
         ctors = jnp.transpose(ctor[:, 1:1 + tp, :], (2, 0, 1))

@@ -290,13 +290,20 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                      interpret: bool = False, debug_grad: bool = False,
                      n_iter: int = 0, done_frac: float = 1.0,
                      mc_steps: int = 0, num_trials: int = NUM_TRIALS,
-                     ls_factor: float = 2.0, async_ls: bool = False):
+                     ls_factor: float = 2.0, async_ls: bool = False,
+                     async_mc: bool = False, tick_budget: int = 24):
     """Build the fused-BFGS callable.
 
     Returns fn(rigid0 (8,L), tors0 (M,L), scal (12,1), pack arrays...) ->
     (rigid (8,L), tors (M,L), stats (8,L), coords (3,N,L)).
 
     scal rows: [v_intra, v_inter, slope, v_metro, lo x3, hi x3, pad x2].
+
+    async_mc (requires mc_steps): fully per-lane MC — every lane runs its
+    own (step, iteration, trial) state machine and one fused eval per
+    tick advances all of them; candidates stream out at the tick they
+    complete, flagged, up to mc_steps*tick_budget ticks.  Removes the
+    per-step worst-lane BFGS barrier of the lockstep mc loop.
     """
     d = 6 + (m - 1)
     _LOG2_FACTOR = float(np.log2(ls_factor))
@@ -315,7 +322,11 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
 
     def kernel(scal, rigid0, tors0, lc, ap, nodeoh, parentoh, parentohT,
                relax, relo, laymask, imask, dofmask, rec, *mc_refs):
-        if mc_steps:
+        if mc_steps and async_mc:
+            (seed0, ecur0, out_rigid, out_tors, out_stats, out_coords,
+             out_srigid, out_stors, out_sstat,
+             coords_s, gatom_s, zrow_s, cnt_s) = mc_refs
+        elif mc_steps:
             (seed0, ecur0, out_rigid, out_tors, out_stats, out_coords,
              out_srigid, out_stors, out_scoords, out_sstat,
              coords_s, gatom_s, zrow_s, cnt_s) = mc_refs
@@ -1067,6 +1078,164 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                  jnp.zeros((1, LB), jnp.float32)], axis=0)
             return rigid_new, tors_new
 
+        if async_mc:
+            # ---------- fully per-lane MC (no per-step barrier) ----------
+            # Each lane runs its own (step, iteration, trial) counters;
+            # every tick does ONE fused value+grad eval that advances all
+            # active lanes: lanes in "start" phase evaluate a fresh
+            # mutation of their chain state (the f0_init eval), lanes
+            # mid-BFGS evaluate their next Armijo trial.  A lane whose
+            # BFGS finishes runs metropolis the same tick, streams the
+            # candidate at the (scalar) tick row with a completed flag,
+            # and re-enters start phase.  The lockstep mc loop below pays
+            # the worst lane's BFGS tick count on EVERY step; here lanes
+            # only wait for each other at the very end of the whole
+            # mc_steps window (tick budget mc_steps*tick_budget bounds
+            # the tail; lanes past their budget simply stop early and the
+            # chain state carries to the next invocation).
+            t_total = mc_steps * tick_budget
+            s_f = float(mc_steps)
+            # flags drive the host unpack: zero the stat stream so rows
+            # past the exit tick can never read as completed
+            out_sstat[:] = jnp.zeros((t_total * 3, LB), jnp.float32)
+
+            fk(rigid0[:], tors0[:])
+            gr0 = gyration(rigid0[:])
+            zd = dofm * 0.0                             # (D, LB) zeros
+
+            def amc_cond(st):
+                tick = st[0]
+                stepc = st[14]
+                return jnp.logical_and(
+                    tick < t_total,
+                    jnp.sum((stepc < s_f).astype(jnp.float32)) > 0.5)
+
+            def amc_body(st):
+                (tick, crigid, ctors, e_cur, gr_cur,
+                 rigid, tors, g, h, f0, met, gr_cand,
+                 tl, itl, stepc, phase) = st
+                activeb = stepc < s_f                    # (1, LB) bool
+                activef = activeb.astype(jnp.float32)
+
+                # fresh mutation of the chain state (start lanes use it)
+                mrigid, mtors = mutate(crigid, ctors, gr_cur)
+
+                # Armijo trial point (mid-BFGS lanes use it)
+                p = -hdotg(h, g) * dofm
+                pg = jnp.sum(p * g, axis=0, keepdims=True)
+                alpha = jnp.exp2(-tl * _LOG2_FACTOR)
+                trig, ttors = increment(rigid, tors, p, alpha)
+
+                startb = phase > 0.5
+                erig = jnp.where(startb, mrigid, trig)
+                etors = jnp.where(startb, mtors, ttors)
+
+                f1, fm1, g1 = eval_fg(erig, etors, True, v1, v0)
+                gy1 = gyration(erig)
+                cnt_s[0:1, :] += activef
+
+                is_start = jnp.logical_and(startb, activeb)
+                is_bfgs = jnp.logical_and(~startb, activeb)
+
+                # ---- BFGS accept/reject (same per-lane math as
+                # bfgs_run_async; no-step fallback on trial exhaustion) --
+                nodesc = jnp.logical_and(is_bfgs, pg >= 0.0)
+                okb = jnp.logical_and(
+                    jnp.logical_and((f1 - f0) < C0 * alpha * pg, is_bfgs),
+                    ~nodesc)
+                ok = okb.astype(jnp.float32)
+                cnt_s[1:2, :] += ok
+
+                y = g1 - g
+                yy = jnp.sum(y * y, axis=0, keepdims=True)
+                yp = jnp.sum(y * p, axis=0, keepdims=True)
+                scale = jnp.where(jnp.abs(yy) > EPSILON_FL,
+                                  alpha * yp / jnp.maximum(yy, EPSILON_FL),
+                                  1.0)
+                scale = jnp.where(scale == scale, scale, 1.0)
+                is0 = ok * (itl == 0.0).astype(jnp.float32)
+                h = h + is0 * (eye * scale[None, :, :] - h)
+                ok_h = jnp.logical_and(okb, (alpha * yp) >= EPSILON_FL)
+                mhy = -hdotg(h, y)
+                yhy = -jnp.sum(y * mhy, axis=0, keepdims=True)
+                r_ = 1.0 / jnp.maximum(alpha * yp, EPSILON_FL)
+                coef1 = (alpha * r_)[None, :, :]
+                coef2 = (alpha * alpha * (r_ * r_ * yhy + r_))[None, :, :]
+                outer = coef1 * (mhy[:, None, :] * p[None, :, :]
+                                 + p[:, None, :] * mhy[None, :, :])
+                outer = outer + coef2 * (p[:, None, :] * p[None, :, :])
+                h = jnp.where(ok_h[None, :, :], h + outer, h)
+                # start lanes open a fresh candidate: identity Hessian
+                h = jnp.where(is_start[None, :, :], eye, h)
+
+                gsq = jnp.sum(g1 * g1, axis=0, keepdims=True)
+                conv_ok = jnp.logical_and(okb, gsq < 1e-4)
+                itl_acc = itl + ok
+                budget_ok = jnp.logical_and(okb,
+                                            itl_acc >= float(maxiters))
+                tl_rej = tl + 1.0
+                rejb = jnp.logical_and(is_bfgs,
+                                       jnp.logical_and(~okb, ~nodesc))
+                stuck = jnp.logical_and(rejb, tl_rej >= float(num_trials))
+                cdone = jnp.logical_or(
+                    nodesc, jnp.logical_or(
+                        stuck, jnp.logical_or(conv_ok, budget_ok)))
+
+                upd = jnp.logical_or(okb, is_start)
+                rigid_n = jnp.where(okb, trig,
+                                    jnp.where(is_start, mrigid, rigid))
+                tors_n = jnp.where(okb, ttors,
+                                   jnp.where(is_start, mtors, tors))
+                g_n = jnp.where(upd, g1, g)
+                f0_n = jnp.where(upd, f1, f0)
+                met_n = jnp.where(upd, fm1, met)
+                gr_cand_n = jnp.where(upd, gy1, gr_cand)
+                itl_n = jnp.where(is_start, 0.0,
+                                  jnp.where(okb, itl_acc, itl))
+                tl_n = jnp.where(jnp.logical_or(is_start, okb), 0.0,
+                                 jnp.where(rejb, tl_rej, tl))
+
+                # ---- MC step completion: metropolis at the carried
+                # metro energy of the candidate's final pose ------------
+                e_new = met_n
+                u = u01((1, LB))
+                macc = jnp.logical_and(cdone, jnp.logical_or(
+                    e_new < e_cur,
+                    u < jnp.exp((e_cur - e_new) / temp)))
+                crigid_n = jnp.where(macc, rigid_n, crigid)
+                ctors_n = jnp.where(macc, tors_n, ctors)
+                e_cur_n = jnp.where(macc, e_new, e_cur)
+                gr_cur_n = jnp.where(macc, gr_cand_n, gr_cur)
+                stepc_n = stepc + cdone.astype(jnp.float32)
+                phase_n = jnp.where(cdone, 1.0,
+                                    jnp.where(is_start, 0.0, phase))
+
+                out_srigid[pl.ds(tick * 8, 8), :] = rigid_n
+                out_stors[pl.ds(tick * m, m), :] = tors_n
+                out_sstat[pl.ds(tick * 3, 3), :] = jnp.concatenate(
+                    [e_new, macc.astype(jnp.float32),
+                     cdone.astype(jnp.float32)], axis=0)
+
+                return (tick + 1, crigid_n, ctors_n, e_cur_n, gr_cur_n,
+                        rigid_n, tors_n, g_n, h, f0_n, met_n, gr_cand_n,
+                        tl_n, itl_n, stepc_n, phase_n)
+
+            st0 = (jnp.int32(0), rigid0[:], tors0[:], ecur0[:], gr0,
+                   rigid0[:], tors0[:], zd, eye, zrow(), zrow(), gr0,
+                   zrow(), zrow(), zrow(), zrow() + 1.0)
+            st = jax.lax.while_loop(amc_cond, amc_body, st0)
+            crigid_f, ctors_f, e_f, stepc_f = st[1], st[2], st[3], st[14]
+            out_rigid[:] = crigid_f
+            out_tors[:] = ctors_f
+            out_stats[:] = jnp.concatenate(
+                [e_f, e_f, cnt_s[0:1, :], cnt_s[1:2, :], stepc_f,
+                 jnp.zeros((3, LB), jnp.float32)], axis=0)
+            fk(crigid_f, ctors_f)
+            out_coords[0] = coords_s[0]
+            out_coords[1] = coords_s[1]
+            out_coords[2] = coords_s[2]
+            return
+
         def mc_body(step, carry):
             rigid, tors, e_cur = carry
             fk(rigid, tors)                     # coords for gyration radius
@@ -1135,14 +1304,26 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                          memory_space=pltpu.SMEM),   # seed0
             lane_spec(1),                            # ecur0
         ]
-        out_specs += [lane_spec(mc_steps * 8), lane_spec(mc_steps * m),
-                      lane_spec(mc_steps * 3, n), lane_spec(mc_steps * 2)]
-        out_shape += [
-            jax.ShapeDtypeStruct((mc_steps * 8, l_total), jnp.float32),
-            jax.ShapeDtypeStruct((mc_steps * m, l_total), jnp.float32),
-            jax.ShapeDtypeStruct((mc_steps * 3, n, l_total), jnp.float32),
-            jax.ShapeDtypeStruct((mc_steps * 2, l_total), jnp.float32),
-        ]
+        if async_mc:
+            t_total = mc_steps * tick_budget
+            out_specs += [lane_spec(t_total * 8), lane_spec(t_total * m),
+                          lane_spec(t_total * 3)]
+            out_shape += [
+                jax.ShapeDtypeStruct((t_total * 8, l_total), jnp.float32),
+                jax.ShapeDtypeStruct((t_total * m, l_total), jnp.float32),
+                jax.ShapeDtypeStruct((t_total * 3, l_total), jnp.float32),
+            ]
+        else:
+            out_specs += [lane_spec(mc_steps * 8), lane_spec(mc_steps * m),
+                          lane_spec(mc_steps * 3, n),
+                          lane_spec(mc_steps * 2)]
+            out_shape += [
+                jax.ShapeDtypeStruct((mc_steps * 8, l_total), jnp.float32),
+                jax.ShapeDtypeStruct((mc_steps * m, l_total), jnp.float32),
+                jax.ShapeDtypeStruct((mc_steps * 3, n, l_total),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((mc_steps * 2, l_total), jnp.float32),
+            ]
 
     if interpret is True and mc_steps:
         # the plain (HLO) interpreter has no lowering for the TPU PRNG
@@ -1169,6 +1350,44 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
 # --------------------------------------------------------------------------
 # XLA-facing wrapper: pytree Conf <-> packed lane-minor layout
 # --------------------------------------------------------------------------
+
+def fk_packed(rigid, tors, pack: "DockPack"):
+    """Kernel-equivalent FK in plain XLA: (8, L), (M, L) -> coords (3, N, L).
+
+    Mirrors make_bfgs_kernel's fk() so hosts can reconstruct coordinates
+    of streamed candidates (the async MC stream carries conf only)."""
+    m = pack.nodeoh.shape[0]
+    ly = pack.laymask.shape[0]
+    pos = rigid[0:3]                                      # (3, L)
+    quat = rigid[3:7]                                     # (4, L)
+    row0 = (jnp.arange(m) == 0)[None, :, None]
+    ident = jnp.asarray([1.0, 0.0, 0.0, 0.0],
+                        jnp.float32).reshape(4, 1, 1)
+    fq = jnp.where(row0, quat[:, None, :], ident)         # (4, M, L)
+    fo = jnp.where(row0, pos[:, None, :], 0.0)            # (3, M, L)
+    half = 0.5 * _norm_angle(tors)                        # (M, L)
+    ch, sh = jnp.cos(half), jnp.sin(half)
+    for layer in range(1, ly + 1):
+        lm = pack.laymask[layer - 1]                      # (M, L)
+        pq = jnp.einsum("pml,cpl->cml", pack.parentohT, fq)
+        pO = jnp.einsum("pml,cpl->cml", pack.parentohT, fo)
+        ox, oy, oz = _qrotate(pq[0], pq[1], pq[2], pq[3],
+                              pack.relo[0], pack.relo[1], pack.relo[2])
+        no = jnp.stack([pO[0] + ox, pO[1] + oy, pO[2] + oz])
+        ax_, ay_, az_ = _qrotate(pq[0], pq[1], pq[2], pq[3],
+                                 pack.relax[0], pack.relax[1],
+                                 pack.relax[2])
+        tq = _qmul(ch, sh * ax_, sh * ay_, sh * az_,
+                   pq[0], pq[1], pq[2], pq[3])
+        nq = jnp.stack(_qnormalize_approx(*tq))
+        fq = jnp.where(lm > 0, nq, fq)
+        fo = jnp.where(lm > 0, no, fo)
+    qa = jnp.einsum("mnl,cml->cnl", pack.nodeoh, fq)      # (4, N, L)
+    oa = jnp.einsum("mnl,cml->cnl", pack.nodeoh, fo)      # (3, N, L)
+    rx, ry, rz = _qrotate(qa[0], qa[1], qa[2], qa[3],
+                          pack.lc[0], pack.lc[1], pack.lc[2])
+    return jnp.stack([oa[0] + rx, oa[1] + ry, oa[2] + rz])
+
 
 def conf_to_packed(conf, m: int):
     """Conf pytree with leading lane axis (L, ...) -> (8, L), (M, L)."""
@@ -1201,7 +1420,8 @@ class FusedBfgs:
                  debug_grad: bool = False, n_iter: int = 0,
                  done_frac: float = 1.0, mc_steps: int = 0,
                  shards: int = 1, num_trials: int = NUM_TRIALS,
-                 ls_factor: float = 2.0, async_ls: bool = False):
+                 ls_factor: float = 2.0, async_ls: bool = False,
+                 async_mc: bool = False, tick_budget: int = 24):
         """shards > 1: the kernel is built for ONE shard of a lane axis
         laid out by build_pack(shards=...) and must be invoked inside a
         shard_map body with the pack's lane axis split over the mesh."""
@@ -1217,12 +1437,16 @@ class FusedBfgs:
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.mc_steps = mc_steps
+        self.async_mc = bool(async_mc)
+        self.tick_budget = int(tick_budget)
         self.fn = make_bfgs_kernel(terms, n, m, ly, k, l, maxiters,
                                    want_metro, interpret=interpret,
                                    debug_grad=debug_grad, n_iter=n_iter,
                                    done_frac=done_frac, mc_steps=mc_steps,
                                    num_trials=num_trials,
-                                   ls_factor=ls_factor, async_ls=async_ls)
+                                   ls_factor=ls_factor, async_ls=async_ls,
+                                   async_mc=async_mc,
+                                   tick_budget=tick_budget)
 
     def scal(self, v_intra, v_inter, slope, v_metro, lo, hi,
              amplitude=2.0, temperature=1.2):

@@ -40,11 +40,14 @@ def main():
     trials = int(os.environ.get("AB_TRIALS", "10"))
     factor = float(os.environ.get("AB_FACTOR", "2.0"))
     async_ls = os.environ.get("AB_ASYNC", "0") == "1"
+    async_mc = os.environ.get("AB_ASYNC_MC", "0") == "1"
+    tick_budget = int(os.environ.get("AB_TICKS", "24"))
     eng = DockingEngine(DockSettings(
         cnn_scoring="none", seed=1, num_mc_steps=steps, exhaustiveness=8,
         fused_search="on", fused_mc_in_kernel=(mode == "ink"),
         fused_ls_trials=trials, fused_ls_factor=factor,
-        fused_async_ls=async_ls))
+        fused_async_ls=async_ls, fused_async_mc=async_mc,
+        fused_mc_tick_budget=tick_budget))
 
     t0 = time.time()
     eng.dock_batch(rec, [lig] * nlig, center, size, seed=1)
@@ -56,7 +59,7 @@ def main():
     bests = [rr[0].energy for rr in res if rr]
     print(json.dumps({
         "mode": mode, "steps": steps, "nlig": nlig, "trials": trials,
-        "factor": factor, "async_ls": async_ls,
+        "factor": factor, "async_ls": async_ls, "async_mc": async_mc,
         "compile_s": round(compile_s, 1), "wall_s": round(wall, 2),
         "lig_per_s": round(nlig / wall, 4),
         "mean_best": round(float(np.mean(bests)), 3),

@@ -96,6 +96,40 @@ def test_fused_dock_inkernel_mc_end_to_end():
     assert (c >= lo).all() and (c <= hi).all()
 
 
+def test_fused_dock_async_mc_end_to_end():
+    """fused_async_mc pipeline integrity: fully per-lane MC state machines
+    in-kernel, tick-flagged candidate stream, host-side FK reconstruction
+    (pd.fk_packed) and batched merge."""
+    import dataclasses
+
+    rec = ingest.Receptor.from_file(f"{DATA}/noelem_rec.pdb")
+    mol = list(sdf.iter_sdf(f"{DATA}/noelem.sdf"))[0]
+    lig = build_tree_from_molecule(mol)
+    center, size = ingest.autobox_ligand(f"{DATA}/noelem.sdf")
+    d = np.linalg.norm(rec.coords - np.asarray(center)[None, :], axis=1)
+    keep = np.argsort(d)[:250]
+    rec = dataclasses.replace(rec, coords=rec.coords[keep],
+                              types=rec.types[keep],
+                              charges=rec.charges[keep])
+    eng = DockingEngine(DockSettings(
+        cnn_scoring="none", seed=3, num_mc_steps=16, exhaustiveness=2,
+        fused_search="on", fused_mc_in_kernel=True, fused_mc_steps=8,
+        fused_async_mc=True, fused_mc_tick_budget=12,
+        num_mc_saved=8, num_modes=4))
+    results = eng.dock_batch(rec, [lig], center, size, seed=3)
+    assert len(results) == 1
+    assert results[0], "no poses returned"
+    lo = np.asarray(center) - np.asarray(size) / 2 - 1.0
+    hi = np.asarray(center) + np.asarray(size) / 2 + 1.0
+    from gnina_tpu.constants import IS_HYDROGEN
+
+    heavy = ~IS_HYDROGEN[lig.types]
+    for r in results[0]:
+        assert np.isfinite(r.energy)
+    c = results[0][0].coords[heavy]
+    assert (c >= lo).all() and (c <= hi).all()
+
+
 def test_fused_eligibility_gating():
     """Flex/covalent/non-vina jobs must fall back to the XLA path."""
     eng = DockingEngine(DockSettings(fused_search="on", cnn_scoring="none"))

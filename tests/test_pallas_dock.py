@@ -119,6 +119,27 @@ def test_energy_parity(system):
     np.testing.assert_allclose(got, ref_h, atol=1e-4)
 
 
+def test_fk_packed_parity(system):
+    """fk_packed (the XLA twin of the kernel FK used to rebuild async-MC
+    stream candidates) matches ops/fk.fk_coords on the heavy subset."""
+    eng, lig, lig_d, rec_d, box, max_layers, pack, efn = system
+    lanes = 8
+    confs = random_confs(lig_d, box, lanes, seed=5)
+    m = pack.nodeoh.shape[0]
+    rigid, tors = pd.conf_to_packed(confs, m)
+    l_pad = pack.lc.shape[-1]
+    rigid = jnp.pad(rigid, ((0, 0), (0, l_pad - lanes)))
+    tors = jnp.pad(tors, ((0, 0), (0, l_pad - lanes)))
+    coords = pd.fk_packed(rigid, tors, pack)             # (3, N, l_pad)
+
+    ref_coords = jax.vmap(lambda c: fk.fk_coords(lig_d, c, max_layers))(confs)
+    hidx = pack.heavy_idx[0]
+    nh = int((hidx >= 0).sum())
+    ref_h = np.asarray(ref_coords)[:, hidx[:nh], :]      # (L, nh, 3)
+    got = np.transpose(np.asarray(coords[..., :lanes]), (2, 1, 0))[:, :nh, :]
+    np.testing.assert_allclose(got, ref_h, atol=1e-4)
+
+
 def test_bfgs_parity_one_iter(system):
     """maxiters=1 final energies match the XLA bfgs (gradient + line search
     + restore semantics all exercised)."""
