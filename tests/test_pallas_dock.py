@@ -140,6 +140,46 @@ def test_fk_packed_parity(system):
     np.testing.assert_allclose(got, ref_h, atol=1e-4)
 
 
+def test_async_mc_kernel_accounting(system):
+    """async_mc stream accounting: with a budget covering the worst-case
+    per-step tick count (1 start + maxiters*num_trials), every real lane
+    completes exactly mc_steps candidates; accept flags only appear on
+    completion ticks; completed energies are finite."""
+    eng, lig, lig_d, rec_d, box, max_layers, pack, efn = system
+    lanes = 8
+    confs = random_confs(lig_d, box, lanes, seed=7)
+    S, maxit, trials = 4, 3, 3
+    budget = 1 + maxit * trials + 2          # >= worst per-step ticks
+    fused = pd.FusedBfgs(eng.sf, pack, maxiters=maxit, want_metro=True,
+                         interpret=True, mc_steps=S, async_mc=True,
+                         tick_budget=budget, num_trials=trials,
+                         ls_factor=4.0)
+    rigid, tors = pd.conf_to_packed(confs, fused.m)
+    l_pad = pack.lc.shape[-1]
+    rigid = jnp.pad(rigid, ((0, 0), (0, l_pad - lanes)))
+    tors = jnp.pad(tors, ((0, 0), (0, l_pad - lanes)))
+    scal = fused.scal(10.0, 10.0, 1e3, 1000.0, box.lo, box.hi)
+    ecur = jnp.full((1, l_pad), 3.0e38, jnp.float32)
+    (frigid, ftors, fstats, fcoords, srig, stor,
+     sstat) = fused.run_mc(rigid, tors, scal, 7, ecur)
+
+    t_total = S * budget
+    astat = np.asarray(sstat).reshape(t_total, 3, l_pad)
+    flags = astat[:, 2, :lanes] > 0.5
+    assert (flags.sum(axis=0) == S).all(), flags.sum(axis=0)
+    # per-lane steps-completed diagnostic (stats row 4) agrees
+    np.testing.assert_array_equal(np.asarray(fstats[4, :lanes]),
+                                  np.full(lanes, float(S)))
+    # metropolis accept flags only on completion ticks
+    acc = astat[:, 1, :lanes] > 0.5
+    assert not (acc & ~flags).any()
+    # completed candidate energies finite
+    e = astat[:, 0, :lanes]
+    assert np.isfinite(e[flags]).all()
+    # final chain state finite and energy consistent with some candidate
+    assert np.isfinite(np.asarray(fstats[0, :lanes])).all()
+
+
 def test_bfgs_parity_one_iter(system):
     """maxiters=1 final energies match the XLA bfgs (gradient + line search
     + restore semantics all exercised)."""
