@@ -335,6 +335,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         cnn_empirical_weight=args.cnn_empirical_weight,
         sort_order=args.pose_sort_order if args.pose_sort_order else "auto",
     )
+    # TPU kernel tuning via env (operator knobs with measured defaults;
+    # no reference-CLI equivalent exists, so they stay off the flag surface)
+    import dataclasses as _dcs
+    _env_knobs = {}
+    for _name, _cast in (("fused_async_ls", lambda v: v == "1"),
+                         ("fused_async_mc", lambda v: v == "1"),
+                         ("fused_mc_in_kernel", lambda v: v == "1"),
+                         ("fused_mc_tick_budget", int),
+                         ("fused_mc_steps", int),
+                         ("fused_ls_trials", int),
+                         ("fused_ls_factor", float),
+                         ("fused_done_frac", float)):
+        _v = os.environ.get("GNINA_TPU_" + _name.upper())
+        if _v is not None:
+            _env_knobs[_name] = _cast(_v)
+    if _env_knobs:
+        settings = _dcs.replace(settings, **_env_knobs)
 
     sf = None
     if args.custom_scoring:
