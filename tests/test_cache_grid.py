@@ -32,6 +32,7 @@ def system():
     return eng, lig, lig_d, rec_d, box, max_layers, grids
 
 
+@pytest.mark.smoke
 def test_grid_matches_analytic_within_trilinear_error(system):
     eng, lig, lig_d, rec_d, box, max_layers, grids = system
     efn = make_energy_fn(eng.sf, max_layers)

@@ -12,6 +12,7 @@ pytestmark = pytest.mark.slow  # compiles big device programs
 DATA = "/root/reference/test/gnina/data"
 
 
+@pytest.mark.smoke
 def test_parser_accepts_gnina_flags():
     p = build_parser()
     args, _ = p.parse_known_args([

@@ -34,6 +34,7 @@ def fixture():
     return cnn, rec, lig, coords, center, (rc, rt, rm)
 
 
+@pytest.mark.smoke
 def test_outputxyz(tmp_path, fixture):
     from gnina_tpu.models import debug_out
 

@@ -12,6 +12,7 @@ pytestmark = pytest.mark.slow  # compiles big device programs
 DATA = "/root/reference/test/gnina/data"
 
 
+@pytest.mark.smoke
 def test_ensemble_expansion():
     assert expand_model_names([]) == [
         "dense_1_3", "dense_1_3_PT_KD_3", "crossdock_default2018_KD_4"]

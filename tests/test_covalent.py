@@ -64,6 +64,7 @@ def _cinfo(**kw):
     return CovInfo(opts, log=lambda *a: None)
 
 
+@pytest.mark.smoke
 def test_find_rec_atom(rec):
     ci = _cinfo()
     gi = ci.find_rec_atom(rec.mol)

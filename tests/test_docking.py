@@ -20,6 +20,7 @@ def noelem():
     return rec, lig
 
 
+@pytest.mark.smoke
 def test_score_only_regression(noelem):
     """Reference regression anchor (test/gnina/test_gnina.py:54-65): Vina
     AND vinardo affinity < -8 on the noelem fixture.  Requires the

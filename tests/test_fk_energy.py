@@ -61,6 +61,7 @@ def identity_conf(t=1):
                 torsions=jnp.zeros(t, jnp.float32))
 
 
+@pytest.mark.smoke
 def test_fk_identity():
     lig = tiny_ligand()
     coords = np.asarray(fk.fk_coords(lig, identity_conf(), max_layers=2))

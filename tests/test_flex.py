@@ -31,6 +31,7 @@ def test_select_by_distance(system):
     assert not names & flexinfo.INFLEXIBLE_RESIDUES
 
 
+@pytest.mark.smoke
 def test_select_by_spec(system):
     rec, _ = system
     # find some real arginine

@@ -130,6 +130,7 @@ def test_fused_dock_async_mc_end_to_end():
     assert (c >= lo).all() and (c <= hi).all()
 
 
+@pytest.mark.smoke
 def test_fused_eligibility_gating():
     """Flex/covalent/non-vina jobs must fall back to the XLA path."""
     eng = DockingEngine(DockSettings(fused_search="on", cnn_scoring="none"))

@@ -29,6 +29,7 @@ def run(args):
     assert rc == 0 or rc is None
 
 
+@pytest.mark.smoke
 def test_dx_golden(tmp_path):
     """griddx: CC vs committed per-channel dx (CMakeLists.txt:21-24)."""
     out = str(tmp_path / "ccdx")

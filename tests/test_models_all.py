@@ -12,6 +12,7 @@ from gnina_tpu.models.registry import MODEL_NAMES, _find_converted, \
     load_model
 
 
+@pytest.mark.smoke
 def test_all_models_converted_offline():
     missing = [n for n in MODEL_NAMES if not _find_converted(n)]
     assert not missing, f"models missing converted copies: {missing}"

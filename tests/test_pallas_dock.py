@@ -119,6 +119,7 @@ def test_energy_parity(system):
     np.testing.assert_allclose(got, ref_h, atol=1e-4)
 
 
+@pytest.mark.smoke
 def test_fk_packed_parity(system):
     """fk_packed (the XLA twin of the kernel FK used to rebuild async-MC
     stream candidates) matches ops/fk.fk_coords on the heavy subset."""

@@ -16,6 +16,7 @@ DATA = "/root/reference/test/gnina/data"
 pytestmark = pytest.mark.slow  # one minimize program compile
 
 
+@pytest.mark.smoke
 def test_server_roundtrip():
     from http.server import ThreadingHTTPServer
 

@@ -38,6 +38,7 @@ def naive_voxelize(coords, channels, radii, mask, center, num_channels,
     return out
 
 
+@pytest.mark.smoke
 def test_voxelize_matches_naive():
     rng = np.random.RandomState(0)
     n = 5
