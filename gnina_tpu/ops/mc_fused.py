@@ -314,15 +314,20 @@ def fused_mc_chunk_inkernel(carry: mc.MCCarry, key, num_steps: int,
             accept = jnp.logical_and(stat_p[:, 1, :lanes] > 0.5,
                                      validS).T            # (L, S)
         else:
-            (frigid, ftors, fstats, fcoords, srig, stor, scoor,
+            (frigid, ftors, fstats, fcoords, srig, stor,
              sstat) = fused_mc.run_mc(rigid, tors, scal_hunt, seed, ecur,
                                       pack=pack)
 
-            # candidate stream: (S, rows, L) slabs -> lane-major pytrees
-            crig = srig.reshape(s_steps, 8, l_pad)[..., :lanes]
-            ctor = stor.reshape(s_steps, m, l_pad)[..., :lanes]
+            # candidate stream: (S, rows, L) slabs -> lane-major pytrees;
+            # coordinates rebuilt host-side (the kernel streams conf only)
+            crig_p = srig.reshape(s_steps, 8, l_pad)
+            ctor_p = stor.reshape(s_steps, m, l_pad)
+            ccrd_p = jax.vmap(lambda r, t: pd.fk_packed(r, t, pack))(
+                crig_p, ctor_p)                           # (S, 3, N, l_pad)
+            crig = crig_p[..., :lanes]
+            ctor = ctor_p[..., :lanes]
+            ccrd = ccrd_p[..., :lanes]
             cstat = sstat.reshape(s_steps, 2, l_pad)[..., :lanes]
-            ccrd = scoor.reshape(s_steps, 3, -1, l_pad)[..., :lanes]
             cand_e = cstat[:, 0, :].T                     # (L, S)
             accept = cstat[:, 1, :].T > 0.5               # (L, S)
 

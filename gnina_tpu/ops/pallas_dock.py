@@ -322,13 +322,11 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
 
     def kernel(scal, rigid0, tors0, lc, ap, nodeoh, parentoh, parentohT,
                relax, relo, laymask, imask, dofmask, rec, *mc_refs):
-        if mc_steps and async_mc:
+        if mc_steps:
+            # both MC modes stream conf-only candidates; the host rebuilds
+            # coordinates with fk_packed (the XLA twin of fk() below)
             (seed0, ecur0, out_rigid, out_tors, out_stats, out_coords,
              out_srigid, out_stors, out_sstat,
-             coords_s, gatom_s, zrow_s, cnt_s) = mc_refs
-        elif mc_steps:
-            (seed0, ecur0, out_rigid, out_tors, out_stats, out_coords,
-             out_srigid, out_stors, out_scoords, out_sstat,
              coords_s, gatom_s, zrow_s, cnt_s) = mc_refs
         else:
             (out_rigid, out_tors, out_stats, out_coords,
@@ -1242,7 +1240,6 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
             gr = gyration(rigid)
             crigid, ctors = mutate(rigid, tors, gr)
             nrigid, ntors_, f_out, e_new = bfgs_run(crigid, ctors)
-            fk(nrigid, ntors_)              # coords for the candidate stream
             u = u01((1, LB))
             accept = jnp.logical_or(
                 e_new < e_cur,
@@ -1251,8 +1248,6 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
 
             out_srigid[pl.ds(step * 8, 8), :] = nrigid
             out_stors[pl.ds(step * m, m), :] = ntors_
-            out_scoords[pl.ds(step * 3, 3), :, :] = jnp.stack(
-                [coords_s[0], coords_s[1], coords_s[2]], axis=0)
             out_sstat[pl.ds(step * 2, 2), :] = jnp.concatenate(
                 [e_new, acceptf], axis=0)
 
@@ -1315,13 +1310,10 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
             ]
         else:
             out_specs += [lane_spec(mc_steps * 8), lane_spec(mc_steps * m),
-                          lane_spec(mc_steps * 3, n),
                           lane_spec(mc_steps * 2)]
             out_shape += [
                 jax.ShapeDtypeStruct((mc_steps * 8, l_total), jnp.float32),
                 jax.ShapeDtypeStruct((mc_steps * m, l_total), jnp.float32),
-                jax.ShapeDtypeStruct((mc_steps * 3, n, l_total),
-                                     jnp.float32),
                 jax.ShapeDtypeStruct((mc_steps * 2, l_total), jnp.float32),
             ]
 
@@ -1468,8 +1460,9 @@ class FusedBfgs:
         """mc_steps in-kernel MC steps from (rigid, tors, ecur).
 
         Returns (rigid', tors', stats, coords, step_rigid, step_tors,
-        step_coords, step_stat): step_* stack the per-step minimized
-        candidates for host-side container bookkeeping."""
+        step_stat): step_* stack the per-step (lockstep mode) or per-tick
+        (async_mc mode, completion-flagged) minimized candidates, conf
+        only — hosts rebuild coordinates with fk_packed."""
         p = self.pack if pack is None else pack
         seed = jnp.asarray(seed, jnp.int32).reshape(1, 1)
         return self.fn(scal, rigid, tors, p.lc, p.ap, p.nodeoh, p.parentoh,
