@@ -102,22 +102,23 @@ class DockSettings:
     # values amortize kernel-launch + host-merge cost over more steps but
     # refine less often.
     fused_mc_steps: int = 16
-    # Armijo line-search schedule inside the fused kernel.  The lockstep
-    # loop pays the WORST lane's trial count every iteration (no per-lane
-    # exit on the VPU), so the default covers nearly the reference's alpha
-    # range (bfgs.h:73-91: 10 halvings to 2^-9) with half the trials:
-    # 5 trials at factor 4 reach 2^-8.  Measured on a v5e (ROADMAP table):
-    # 1.65x throughput at equal steps, mean best-pose -8.3 vs -8.4 at
-    # equal wall (within single-seed noise).  Reference-exact semantics:
-    # fused_ls_trials=10, fused_ls_factor=2.
-    fused_ls_trials: int = 5
-    fused_ls_factor: float = 4.0
+    # Armijo line-search schedule inside the fused kernel.  The default is
+    # the reference-exact schedule (bfgs.h:73-91: 10 halvings to 2^-9) —
+    # affordable because the default async MC mode pays only each lane's
+    # OWN trial count.  The lockstep fallback (fused_async_* both False)
+    # pays the WORST lane's trial count every iteration; for lockstep runs
+    # 5 trials at factor 4 (reaching 2^-8) measured 1.65x throughput at
+    # statistically equal pose quality — set via GNINA_TPU_FUSED_LS_*.
+    fused_ls_trials: int = 10
+    fused_ls_factor: float = 2.0
     # Per-lane asynchronous line search inside the fused kernel: every
     # kernel tick is ONE fused value+grad eval with each lane at its own
     # (iteration, trial) state, instead of the lockstep loop where every
     # lane pays the worst lane's Armijo trial count per iteration.
     # Per-lane trajectories (trial points, accepts, Hessian updates) are
-    # mathematically identical to the lockstep path.
+    # mathematically identical to the lockstep path (v5e A/B: identical
+    # best poses, 1.64x throughput).  Subsumed by fused_async_mc; kept as
+    # a fallback for per-step host-driven MC runs.
     fused_async_ls: bool = False
     # Fully per-lane in-kernel MC (requires fused_mc_in_kernel): each lane
     # runs its own (step, iteration, trial) state machine, removing even
@@ -126,9 +127,12 @@ class DockSettings:
     # A lane gets at most fused_mc_steps*fused_mc_tick_budget fused evals
     # per window; lanes that exhaust the budget carry their chain state
     # into the next window (slightly fewer mutations for pathological
-    # clash lanes — the ones metropolis rejects anyway).
-    fused_async_mc: bool = False
-    fused_mc_tick_budget: int = 24
+    # clash lanes — the ones metropolis rejects anyway).  Default ON since
+    # round 3: v5e sweep at 1024 steps x 128 lanes (10gs, ROADMAP table)
+    # measures 2.38 lig/s at mean best -8.35 vs lockstep 10x2's 0.70 lig/s
+    # at -8.43 — 3.4x throughput with quality inside single-seed noise.
+    fused_async_mc: bool = True
+    fused_mc_tick_budget: int = 32
 
 
 @dataclasses.dataclass
