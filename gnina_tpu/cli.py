@@ -103,6 +103,20 @@ def build_parser() -> argparse.ArgumentParser:
                      help="max allowed force; lower values more gently "
                           "minimize clashing structures (default 1000; "
                           "--minimize softens to 10, main.cpp:1152-1166)")
+    gsc.add_argument("--print_terms", action="store_true",
+                     help="print all available terms with default "
+                          "parameterizations")
+    gsc.add_argument("--print_atom_types", action="store_true",
+                     help="print all available atom types")
+    gsc.add_argument("--approximation", default=None,
+                     help="(compat) linear/spline/exact approximation; the "
+                          "TPU path always evaluates terms analytically")
+    gsc.add_argument("--factor", type=float, default=None,
+                     help="(compat) approximation fineness; unused (terms "
+                          "are evaluated analytically, not tabulated)")
+    gsc.add_argument("--outputmin", type=int, default=0,
+                     help="output minout.sdf of minimization with provided "
+                          "amount of interpolation")
     gsc.add_argument("--user_grid",
                      help="AutoDock4 .map adding a per-atom bias term")
     gsc.add_argument("--user_grid_lambda", type=float, default=-1.0,
@@ -117,7 +131,10 @@ def build_parser() -> argparse.ArgumentParser:
                       help="built-in model name(s) or ensemble")
     gcnn.add_argument("--cnn_model", action="append", default=[],
                       help="TorchScript model file(s) to convert and use")
-    gcnn.add_argument("--cnn_rotations", type=int, default=0)
+    # the reference spells this flag --cnn_rotation (main.cpp:1022);
+    # accept both spellings
+    gcnn.add_argument("--cnn_rotations", "--cnn_rotation", type=int,
+                      default=0, dest="cnn_rotations")
     gcnn.add_argument("--cnn_mix_emp_force", action="store_true",
                       help="merge CNN and empirical minus forces")
     gcnn.add_argument("--cnn_mix_emp_energy", action="store_true",
@@ -266,6 +283,27 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 1
     t_start = time.time()
 
+    # pure table dumps, exit before any input validation (main.cpp:1130-1139)
+    if args.print_terms:
+        from gnina_tpu.scoring.terms import available_term_names
+
+        for name in available_term_names():
+            sys.stdout.write(name + "\n")
+        return 0
+    if args.print_atom_types:
+        from gnina_tpu.constants import atom_info_lines, table_from_custom_atoms
+
+        table = (table_from_custom_atoms(args.custom_atoms)
+                 if args.custom_atoms else None)
+        for line in atom_info_lines(table):
+            sys.stdout.write(line + "\n")
+        return 0
+    if args.approximation or args.factor is not None:
+        log.write("WARNING: --approximation/--factor accepted for "
+                  "compatibility and ignored: this implementation always "
+                  "evaluates scoring terms analytically (exactly) on the "
+                  "accelerator instead of interpolating tables\n")
+
     if not args.receptor:
         log.write("ERROR: receptor (-r) required\n")
         return 1
@@ -334,6 +372,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         cnn_mix_emp_energy=args.cnn_mix_emp_energy,
         cnn_empirical_weight=args.cnn_empirical_weight,
         sort_order=args.pose_sort_order if args.pose_sort_order else "auto",
+        outputmin_frames=max(args.outputmin, 0),
     )
     # TPU kernel tuning via env (operator knobs with measured defaults;
     # no reference-CLI equivalent exists, so they stay off the flag surface)
@@ -583,6 +622,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                           "greater than 100A. Skipping.\n")
                 continue
             r = engine.minimize(rec, lig)
+            if args.outputmin > 0:
+                # minout.sdf in cwd, like the reference (bfgs.h:265)
+                frames = engine.minimize_trajectory(rec, lig)
+                from gnina_tpu.chem.sdf import write_sdf_block
+
+                with open("minout.sdf", "w") as fmin:
+                    for fc in frames:
+                        fmin.write(write_sdf_block(lig.mol, coords=fc,
+                                                   name=lig.name))
+                log.write(f"Wrote minout.sdf ({len(frames)} frames)\n")
             log.write(f"Affinity: {r.energy:.5f}  {r.intramol:.5f} "
                       f"(kcal/mol)\nRMSD: {r.rmsd:.5f}\n")
             log.write(f"CNNscore: {r.cnnscore:.5f} \n")

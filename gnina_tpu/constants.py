@@ -268,3 +268,23 @@ def adjust_smina_type(t, h_bonded: bool, hetero_bonded: bool):
     if t in (S.OxygenXSDonorAcceptor, S.OxygenXSAcceptor):
         return S.OxygenXSDonorAcceptor if h_bonded else S.OxygenXSAcceptor
     return t
+
+
+def atom_info_lines(table: AtomTypeTable = None) -> "list[str]":
+    """--print_atom_types dump: the atom-parameter table in the
+    reference's format (main.cpp:602-620 print_atom_info), header
+    included."""
+    t = table or DEFAULT_TABLE
+
+    def g(x):
+        return f"{float(x):g}"
+
+    lines = ["#Name radius depth solvation volume covalent_radius xs_radius"
+             " xs_hydrophobe xs_donor xs_acceptr ad_heteroatom"]
+    for i, name in enumerate(t.smina_names):
+        lines.append(" ".join([
+            name, g(t.ad_radius[i]), g(t.ad_depth[i]), g(t.ad_solvation[i]),
+            g(t.ad_volume[i]), g(t.covalent_radius[i]), g(t.xs_radius[i]),
+            str(int(t.xs_hydrophobe[i])), str(int(t.xs_donor[i])),
+            str(int(t.xs_acceptor[i])), str(int(t.ad_heteroatom[i]))]))
+    return lines

@@ -133,6 +133,9 @@ class DockSettings:
     # at -8.43 — 3.4x throughput with quality inside single-seed noise.
     fused_async_mc: bool = True
     fused_mc_tick_budget: int = 32
+    # --outputmin N (main.cpp:1005): write minout.sdf with N interpolated
+    # frames per accepted minimization step (bfgs.h:244-310)
+    outputmin_frames: int = 0
 
 
 @dataclasses.dataclass
@@ -380,6 +383,84 @@ class DockingEngine:
                           conf_orientation=np.asarray(conf.orientation),
                           conf_torsions=np.asarray(conf.torsions)[:t],
                           rmsd=rmsd, within_box=within)
+
+    def minimize_trajectory(self, rec: Receptor, lig: LigandStruct,
+                            center=None, size=None) -> "np.ndarray":
+        """--outputmin N (main.cpp:1005, bfgs.h:244-310): all-atom frames
+        of the minimization trajectory, N+1 interpolated frames per
+        accepted quasi-Newton step (factor 0..1 inclusive, bfgs.h:302-310).
+
+        Captures the slope=10 quasi-Newton run (refine_structure's first
+        escalation, main.cpp:131-173) — for in-box input poses that is the
+        run whose minout.sdf survives in the reference (each escalation
+        reopens/truncates the file).  Returns (F, num_atoms, 3) float32.
+        """
+        from gnina_tpu.ops import quat as Q
+        from gnina_tpu.ops.bfgs import bfgs as _bfgs
+
+        nframes = self.settings.outputmin_frames
+        if center is None:
+            lo = lig.orig_coords.min(axis=0) - self.settings.autobox_add
+            hi = lig.orig_coords.max(axis=0) + self.settings.autobox_add
+            center, size = (lo + hi) / 2, hi - lo
+        lig_d, rec_d, box, max_layers, _ = self._prepare(rec, lig, center,
+                                                         size)
+        efn = self._make_efn(max_layers)
+        t = lig.num_torsions
+        tp = lig_d.num_torsion_slots
+        conf0 = initial_conf(lig, tp)
+        cap = jnp.full((3,), self.settings.forcecap, jnp.float32)
+        if self.settings.local_only:
+            iters = (self.settings.minimize_iters
+                     if self.settings.minimize_iters > 0
+                     else _minimize_iters_heuristic(lig, self.settings))
+            ls_type = ("accurate" if self.settings.accurate_line_search
+                       else "fast")
+        else:
+            iters = (self.settings.minimize_iters
+                     if self.settings.minimize_iters > 0 else 10000)
+            ls_type = "accurate"
+        minpar = MinimizeParams(maxiters=min(iters, 10000), type=ls_type,
+                                early_term=self.settings.minimize_early_term)
+        traj_cap = min(minpar.maxiters, 128)
+        factors = (jnp.arange(nframes + 1, dtype=jnp.float32)
+                   / max(nframes, 1))
+
+        @jax.jit
+        def program(lig_d, rec_d, conf0):
+            slope = 10.0
+
+            def f(c):
+                return efn.eval_deriv(lig_d, rec_d, c, box, slope, cap)
+
+            def fv(c):
+                return efn.eval_energy(lig_d, rec_d, c, box, slope, cap)
+
+            _res, hist, n = _bfgs(f, conf0, minpar, f_val=fv,
+                                  traj_cap=traj_cap)
+
+            def pair_frames(row0, row1):
+                q0, q1 = row0[3:7], row1[3:7]
+                v = Q.quaternion_to_rotvec(Q.qmul(q1, Q.qconj(q0)))
+                dt = Q.normalize_angle(row1[7:] - row0[7:])
+
+                def at(fac):
+                    c = Conf(
+                        position=row0[:3] + fac * (row1[:3] - row0[:3]),
+                        orientation=Q.qnormalize_approx(
+                            Q.qmul(Q.rotvec_to_quaternion(fac * v), q0)),
+                        torsions=Q.normalize_angle(row0[7:] + fac * dt))
+                    return fk.fk_coords(lig_d, c, max_layers)
+
+                return jax.vmap(at)(factors)
+
+            coords = jax.vmap(pair_frames)(hist[:-1], hist[1:])
+            return coords, n
+
+        coords, n = program(lig_d, rec_d, conf0)
+        n = int(n)
+        out = np.asarray(coords)[:n].reshape(-1, coords.shape[-2], 3)
+        return out[:, :lig.num_atoms]
 
     def _build_refine(self, efn, minpar: MinimizeParams, cap):
         """refine_structure (main.cpp:131-173): up to 5 slope escalations."""

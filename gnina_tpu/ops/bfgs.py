@@ -151,13 +151,30 @@ class BfgsResult(NamedTuple):
     g: jnp.ndarray
 
 
+def _conf_store(c: Conf) -> jnp.ndarray:
+    """Conf -> flat (7+T,) storage row for trajectory capture."""
+    return jnp.concatenate([c.position, c.orientation, c.torsions])
+
+
+def conf_unstore(row, t: int) -> Conf:
+    """Inverse of _conf_store."""
+    return Conf(position=row[:3], orientation=row[3:7],
+                torsions=row[7:7 + t])
+
+
 def bfgs(f: Callable, x0: Conf, params: MinimizeParams,
-         dof_mask=None, f_val: Optional[Callable] = None) -> BfgsResult:
+         dof_mask=None, f_val: Optional[Callable] = None,
+         traj_cap: int = 0):
     """Minimize f over pose DOF starting at x0 (bfgs.h:357-502).
 
     f: Conf -> (energy, flat gradient (D,)).
     f_val: optional forward-only energy (defaults to f's first output).
     dof_mask: optional (D,) bool of active DOF (padded torsions False).
+    traj_cap > 0 (--outputmin, bfgs.h:244-310): additionally record the
+    conf at the start of every iteration (and the final conf) into a
+    (traj_cap+1, 7+T) history; returns (BfgsResult, hist, n_steps) where
+    consecutive hist rows [i, i+1] for i < n_steps are the accepted-step
+    endpoints the reference interpolates minout.sdf frames between.
     """
     if f_val is None:
         def f_val(c):
@@ -180,11 +197,17 @@ def bfgs(f: Callable, x0: Conf, params: MinimizeParams,
         h: jnp.ndarray
         f0: jnp.ndarray
         done: jnp.ndarray
+        hist: jnp.ndarray       # (traj_cap+1, 7+T) or (0,) when unused
 
     def cond(s: State):
         return jnp.logical_and(s.step < params.maxiters, ~s.done)
 
     def body(s: State):
+        hist = s.hist
+        if traj_cap:
+            hist = jax.lax.dynamic_update_slice(
+                hist, _conf_store(s.x)[None],
+                (jnp.minimum(s.step, traj_cap - 1), jnp.int32(0)))
         p = -(s.h @ s.g)
         if dof_mask is not None:
             p = jnp.where(dof_mask, p, 0.0)
@@ -246,10 +269,13 @@ def bfgs(f: Callable, x0: Conf, params: MinimizeParams,
         h_new = jnp.where(jnp.logical_and(ok, ~done), h + outer, h)
 
         return State(step=s.step + 1, x=x_new, g=g_next, h=h_new,
-                     f0=f0_new, done=done)
+                     f0=f0_new, done=done, hist=hist)
 
+    row = 7 + x0.torsions.shape[-1]
+    hist0 = (jnp.zeros((traj_cap + 1, row), jnp.float32) if traj_cap
+             else jnp.zeros((0,), jnp.float32))
     init = State(step=jnp.int32(0), x=x0, g=g_init, h=eye,
-                 f0=f0_init, done=jnp.asarray(False))
+                 f0=f0_init, done=jnp.asarray(False), hist=hist0)
     final = jax.lax.while_loop(cond, body, init)
 
     # restore original if not improved (succeeds for NaN too) — bfgs.h:491
@@ -258,4 +284,10 @@ def bfgs(f: Callable, x0: Conf, params: MinimizeParams,
         lambda new, old: jnp.where(improved, new, old), final.x, x0)
     f_out = jnp.where(improved, final.f0, f0_init)
     g_out = jnp.where(improved, final.g, g_init)
-    return BfgsResult(x=x_out, f0=f_out, g=g_out)
+    res = BfgsResult(x=x_out, f0=f_out, g=g_out)
+    if traj_cap:
+        n = jnp.minimum(final.step, traj_cap)
+        hist = jax.lax.dynamic_update_slice(
+            final.hist, _conf_store(final.x)[None], (n, jnp.int32(0)))
+        return res, hist, n
+    return res

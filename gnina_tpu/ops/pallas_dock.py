@@ -1350,6 +1350,10 @@ def fk_packed(rigid, tors, pack: "DockPack"):
     of streamed candidates (the async MC stream carries conf only)."""
     m = pack.nodeoh.shape[0]
     ly = pack.laymask.shape[0]
+    # the kernel fk() accumulates in full f32; these einsums must match
+    # it, but TPU dot_general defaults to bf16 MXU inputs, which
+    # quantizes ~15 A origins to ~0.06 A steps — force f32 precision
+    hi = jax.lax.Precision.HIGHEST
     pos = rigid[0:3]                                      # (3, L)
     quat = rigid[3:7]                                     # (4, L)
     row0 = (jnp.arange(m) == 0)[None, :, None]
@@ -1361,8 +1365,8 @@ def fk_packed(rigid, tors, pack: "DockPack"):
     ch, sh = jnp.cos(half), jnp.sin(half)
     for layer in range(1, ly + 1):
         lm = pack.laymask[layer - 1]                      # (M, L)
-        pq = jnp.einsum("pml,cpl->cml", pack.parentohT, fq)
-        pO = jnp.einsum("pml,cpl->cml", pack.parentohT, fo)
+        pq = jnp.einsum("pml,cpl->cml", pack.parentohT, fq, precision=hi)
+        pO = jnp.einsum("pml,cpl->cml", pack.parentohT, fo, precision=hi)
         ox, oy, oz = _qrotate(pq[0], pq[1], pq[2], pq[3],
                               pack.relo[0], pack.relo[1], pack.relo[2])
         no = jnp.stack([pO[0] + ox, pO[1] + oy, pO[2] + oz])
@@ -1374,8 +1378,8 @@ def fk_packed(rigid, tors, pack: "DockPack"):
         nq = jnp.stack(_qnormalize_approx(*tq))
         fq = jnp.where(lm > 0, nq, fq)
         fo = jnp.where(lm > 0, no, fo)
-    qa = jnp.einsum("mnl,cml->cnl", pack.nodeoh, fq)      # (4, N, L)
-    oa = jnp.einsum("mnl,cml->cnl", pack.nodeoh, fo)      # (3, N, L)
+    qa = jnp.einsum("mnl,cml->cnl", pack.nodeoh, fq, precision=hi)
+    oa = jnp.einsum("mnl,cml->cnl", pack.nodeoh, fo, precision=hi)
     rx, ry, rz = _qrotate(qa[0], qa[1], qa[2], qa[3],
                           pack.lc[0], pack.lc[1], pack.lc[2])
     return jnp.stack([oa[0] + rx, oa[1] + ry, oa[2] + rz])

@@ -603,3 +603,34 @@ def parse_term(desc: str, table: Optional[AtomTypeTable] = None):
     if at is not None:
         return at
     return None
+
+
+def available_term_names() -> "list[str]":
+    """--print_terms dump: every registered term creator's default-
+    parameterized name string, in the reference's registration order
+    (everything.h:953-985 term_creators; printed by
+    custom_terms.cpp:90-94 print_available_terms)."""
+
+    def g(x):
+        return f"{float(x):g}"
+
+    pair = [
+        f"electrostatic(i=2,_^={g(100)},_c={g(8)})",
+        f"ad4_solvation(d-sigma={g(3.6)},_s/q={g(0.01097)},_c={g(8)})",
+        f"gauss(o={g(0)},_w={g(0.5)},_c={g(8)})",
+        f"repulsion(o={g(0)},_c={g(8)})",
+        f"hydrophobic(g={g(0.5)},_b={g(1.5)},_c={g(8)})",
+        f"non_hydrophobic(g={g(0.5)},_b={g(1.5)},_c={g(8)})",
+        f"vdw(i=6,_j=12,_s={g(1)},_^={g(100)},_c={g(8)})",
+        f"non_dir_h_bond_lj(o={g(-0.7)},_^={g(100)},_c={g(8)})",
+        f"non_dir_anti_h_bond_quadratic(o={g(0)},_c={g(8)})",
+        f"non_dir_h_bond(g={g(-0.7)},_b={g(0)},_c={g(8)})",
+        f"acceptor_acceptor_quadratic(o={g(0)},_c={g(8)})",
+        f"donor_donor_quadratic(o={g(0)},_c={g(8)})",
+        f"atom_type_gaussian(t1=,t2=,o={g(0)},_w={g(0)},_c={g(8)})",
+        f"atom_type_linear(t1=,t2=,g={g(0)},_b={g(0)},_c={g(8)})",
+        f"atom_type_quadratic(t1=,t2=,o={g(0)},_c={g(8)})",
+        f"atom_type_inverse_power(t1=,t2=,i=0,_^={g(100)},_c={g(8)})",
+        f"atom_type_lennard_jones(t1=,t2=,o={g(0)},_^={g(100)},_c={g(8)})",
+    ]
+    return pair + list(_CONF_INDEP)

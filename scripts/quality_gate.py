@@ -1,0 +1,143 @@
+"""Build-vs-build quality gate: fused-async search vs XLA reference path.
+
+Port of the reference's correctness bar (test/gnina/correctness.py:15-40:
+Pearson rank correlation >= 0.8 of screen scores between two builds) to
+the repo's two search implementations.  Docks >=3 receptor/ligand
+fixtures x >=3 seeds x QG_COPIES ligand copies through BOTH paths and
+asserts:
+
+  1. Pearson r >= 0.8 between the per-(fixture, seed) mean-best score
+     vectors of the two paths (ranking preservation), and
+  2. per fixture, |mean-over-seeds gap| <= max(seed spread of either
+     path, 0.25 kcal/mol) (no systematic quality loss beyond noise).
+
+Writes QUALITY.json (+ QUALITY_r{N}.json inferred from the newest
+BENCH_r*.json) at the repo root; bench.py embeds it in the bench
+artifact.  Run on the TPU: `python scripts/quality_gate.py` (~20 min
+cold, ~8 min warm cache).
+
+Env knobs (to certify a candidate perf setting before making it the
+default): QG_STEPS, QG_SEEDS ("1,2,3"), QG_COPIES, QG_EXH,
+QG_TICK_BUDGET, QG_LS_TRIALS, QG_LS_FACTOR, QG_MC_STEPS.
+"""
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+DATA = "/root/reference/test/gnina/data"
+FIXTURES = [
+    ("10gs", f"{DATA}/10gs_rec.pdb", f"{DATA}/10gs_lig.sdf"),
+    ("184l", f"{DATA}/184l_rec.pdb", f"{DATA}/184l_lig.sdf"),
+    ("3rod", f"{DATA}/3rod_rec.pdb", f"{DATA}/3rod_lig.pdb"),
+]
+
+
+def pearson(x, y):
+    import numpy as np
+
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    xc = x - x.mean()
+    yc = y - y.mean()
+    den = np.sqrt((xc * xc).sum() * (yc * yc).sum())
+    return float((xc * yc).sum() / den) if den > 0 else 0.0
+
+
+def main():
+    import numpy as np
+
+    from gnina_tpu.chem import ingest
+    from gnina_tpu.docking import DockingEngine, DockSettings
+
+    steps = int(os.environ.get("QG_STEPS", "512"))
+    seeds = [int(s) for s in os.environ.get("QG_SEEDS", "1,2,3").split(",")]
+    copies = int(os.environ.get("QG_COPIES", "8"))
+    exh = int(os.environ.get("QG_EXH", "8"))
+
+    fused_kw = dict(fused_search="on")
+    if "QG_TICK_BUDGET" in os.environ:
+        fused_kw["fused_mc_tick_budget"] = int(os.environ["QG_TICK_BUDGET"])
+    if "QG_LS_TRIALS" in os.environ:
+        fused_kw["fused_ls_trials"] = int(os.environ["QG_LS_TRIALS"])
+    if "QG_LS_FACTOR" in os.environ:
+        fused_kw["fused_ls_factor"] = float(os.environ["QG_LS_FACTOR"])
+    if "QG_MC_STEPS" in os.environ:
+        fused_kw["fused_mc_steps"] = int(os.environ["QG_MC_STEPS"])
+
+    out = {"steps": steps, "seeds": seeds, "copies": copies,
+           "fused_settings": {k: v for k, v in fused_kw.items()},
+           "fixtures": {}}
+    vec = {"fused": [], "xla": []}
+    percopy = {"fused": [], "xla": []}
+    ok_fixture = True
+
+    for name, rec_path, lig_path in FIXTURES:
+        rec = ingest.Receptor.from_file(rec_path)
+        lig = list(ingest.iter_ligands(lig_path))[0]
+        center, size = ingest.autobox_ligand(lig_path)
+        fx = {"fused": {}, "xla": {}}
+        for path, kw in (("fused", fused_kw), ("xla", {"fused_search": "off"})):
+            means = []
+            for seed in seeds:
+                eng = DockingEngine(DockSettings(
+                    cnn_scoring="none", seed=seed, num_mc_steps=steps,
+                    exhaustiveness=exh, **kw))
+                t0 = time.time()
+                res = eng.dock_batch(rec, [lig] * copies, center, size,
+                                     seed=seed)
+                el = time.time() - t0
+                bests = [rr[0].energy for rr in res if rr]
+                mb = float(np.mean(bests))
+                means.append(mb)
+                vec[path].append(mb)
+                percopy[path].extend(float(b) for b in bests)
+                print(f"{name} {path} seed={seed}: mean_best={mb:.3f} "
+                      f"min={min(bests):.3f} n={len(bests)} wall={el:.1f}s",
+                      flush=True)
+            fx[path] = {"mean": round(float(np.mean(means)), 3),
+                        "spread": round(float(np.max(means) - np.min(means)),
+                                        3),
+                        "per_seed": [round(m, 3) for m in means]}
+        gap = abs(fx["fused"]["mean"] - fx["xla"]["mean"])
+        tol = max(fx["fused"]["spread"], fx["xla"]["spread"], 0.25)
+        fx["gap"] = round(gap, 3)
+        fx["tol"] = round(tol, 3)
+        fx["ok"] = bool(gap <= tol)
+        ok_fixture = ok_fixture and fx["ok"]
+        out["fixtures"][name] = fx
+        print(f"{name}: fused {fx['fused']['mean']} vs xla "
+              f"{fx['xla']['mean']} gap={gap:.3f} tol={tol:.3f} "
+              f"ok={fx['ok']}", flush=True)
+
+    r = pearson(vec["fused"], vec["xla"])
+    r_copy = pearson(percopy["fused"], percopy["xla"])
+    out["pearson_r"] = round(r, 4)
+    out["pearson_r_percopy"] = round(r_copy, 4)
+    out["ok"] = bool(r >= 0.8 and ok_fixture)
+    print(json.dumps({k: out[k] for k in
+                      ("pearson_r", "pearson_r_percopy", "ok")}))
+
+    with open(os.path.join(ROOT, "QUALITY.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    rounds = [int(m.group(1)) for p in glob.glob(f"{ROOT}/BENCH_r*.json")
+              if (m := re.search(r"BENCH_r0*(\d+)\.json$", p))]
+    if rounds:
+        with open(os.path.join(ROOT,
+                               f"QUALITY_r{max(rounds) + 1:02d}.json"),
+                  "w") as f:
+            json.dump(out, f, indent=1)
+    if not out["ok"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -85,3 +85,54 @@ def test_cli_screen_resume(tmp_path):
     assert text.count("$$$$") >= 2
     # partial is consumed on successful completion
     assert not (tmp_path / "out.sdf.partial").exists()
+
+
+@pytest.mark.smoke
+def test_cli_print_dumps(capsys):
+    """--print_terms/--print_atom_types are pure table dumps exiting 0
+    before input validation (main.cpp:1130-1139); --cnn_rotation is the
+    reference spelling (main.cpp:1022); --approximation/--factor parse
+    and warn (main.cpp:989-990, redesigned away)."""
+    assert main(["--print_terms"]) == 0
+    out = capsys.readouterr().out
+    assert "gauss(o=0,_w=0.5,_c=8)" in out
+    assert "num_tors_div" in out
+    assert "atom_type_lennard_jones(t1=,t2=,o=0,_^=100,_c=8)" in out
+
+    assert main(["--print_atom_types"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("#Name radius depth solvation volume")
+    assert "AliphaticCarbonXSHydrophobe" in out
+    assert len(out.strip().splitlines()) == 29  # header + 28 types
+
+    p = build_parser()
+    args, unk = p.parse_known_args(
+        ["--cnn_rotation", "4", "--approximation", "spline",
+         "--factor", "10"])
+    assert not unk
+    assert args.cnn_rotations == 4
+    assert args.approximation == "spline"
+    assert args.factor == 10.0
+
+
+def test_cli_outputmin_frames(tmp_path, monkeypatch):
+    """--outputmin N writes minout.sdf with N+1 interpolated frames per
+    accepted minimization step (bfgs.h:244-310); first frame is the
+    input pose."""
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "min.sdf")
+    rc = main(["-r", f"{DATA}/noelem_rec.pdb", "-l", f"{DATA}/noelem.sdf",
+               "--minimize", "--minimize_iters", "8", "--outputmin", "2",
+               "--cnn_scoring", "none", "-o", out, "-q"])
+    assert rc == 0
+    text = (tmp_path / "minout.sdf").read_text()
+    nframes = text.count("$$$$")
+    assert nframes > 0 and nframes % 3 == 0  # (N+1)=3 frames per step
+    # first frame == input pose coords (minout atoms are in tree order)
+    from gnina_tpu.chem import sdf as sdfmod
+    from gnina_tpu.chem.tree_build import build_tree_from_molecule
+
+    mols = list(sdfmod.iter_sdf(str(tmp_path / "minout.sdf")))
+    ref = build_tree_from_molecule(
+        list(sdfmod.iter_sdf(f"{DATA}/noelem.sdf"))[0])
+    np.testing.assert_allclose(mols[0].coords(), ref.orig_coords, atol=2e-3)

@@ -80,8 +80,8 @@ def test_fused_dock_inkernel_mc_end_to_end():
     # (all saved poses can legitimately be clashes)
     eng = DockingEngine(DockSettings(
         cnn_scoring="none", seed=3, num_mc_steps=24, exhaustiveness=2,
-        fused_search="on", fused_mc_in_kernel=True, fused_mc_steps=8,
-        num_mc_saved=8, num_modes=4))
+        fused_search="on", fused_mc_in_kernel=True, fused_async_mc=False,
+        fused_mc_steps=8, num_mc_saved=8, num_modes=4))
     results = eng.dock_batch(rec, [lig], center, size, seed=3)
     assert len(results) == 1
     assert results[0], "no poses returned"
