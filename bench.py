@@ -91,6 +91,55 @@ def main():
         with open(pp) as f:
             out["detail"]["path_parity"] = json.load(f)
 
+    # heterogeneous screen config (VERDICT r3 item 9): mixed ligands
+    # (10gs + 184l + 3rod) through the CLI screen path, so shape
+    # bucketing, compile-ahead pipelining, and host chemistry overhead
+    # show up in a measured number.  Default ON; disable with
+    # GNINA_TPU_BENCH_MIXED=0.
+    if os.environ.get("GNINA_TPU_BENCH_MIXED", "1") == "1":
+        import tempfile
+
+        from gnina_tpu import cli
+        from gnina_tpu.chem.sdf import write_sdf_block
+
+        copies = int(os.environ.get("GNINA_TPU_BENCH_MIXED_COPIES", "5"))
+        mols = []
+        for path in (f"{data}/10gs_lig.sdf", f"{data}/184l_lig.sdf",
+                     f"{data}/3rod_lig.pdb"):
+            m = list(ingest.iter_molecules(path))[0]
+            mols.append(m)
+        with tempfile.TemporaryDirectory() as td:
+            mixed = os.path.join(td, "mixed.sdf")
+            with open(mixed, "w") as f:
+                for ci in range(copies):
+                    for m in mols:
+                        f.write(write_sdf_block(m, name=f"{m.name}_{ci}"))
+            n_mixed = copies * len(mols)
+            outp = os.path.join(td, "screen.sdf")
+            argv = ["-r", f"{data}/10gs_rec.pdb", "-l", mixed,
+                    "--autobox_ligand", f"{data}/10gs_lig.sdf",
+                    "--cnn_scoring", "none", "--num_mc_steps", str(steps),
+                    "--seed", "42", "-o", outp, "-q"]
+            t0 = time.time()
+            rc = cli.main(argv)
+            first = time.time() - t0
+            t0 = time.time()
+            rc = cli.main(argv)
+            el = time.time() - t0
+            n_out = 0
+            if rc == 0 and os.path.exists(outp):
+                with open(outp) as f:
+                    n_out = f.read().count("$$$$")
+            out["detail"]["mixed_screen"] = {
+                "config": f"10gs+184l+3rod x{copies} each ({n_mixed} ligs) "
+                          f"vs 10gs_rec via CLI screen, {steps} MC steps",
+                "wall_s": round(el, 2),
+                "first_call_s": round(first, 2),
+                "lig_per_s": round(n_mixed / el, 4),
+                "rc": rc,
+                "num_poses": n_out,
+            }
+
     # optional secondary config (BASELINE.md config 5): a CNN-refinement
     # screen.  Gated by env because its compile adds minutes to the
     # default driver invocation; run with GNINA_TPU_BENCH_REFINE=1 and

@@ -79,8 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
                       help="embed per-atom interaction terms in the output "
                            "SD data")
     gout.add_argument("--full_flex_output", action="store_true",
-                      help="(not implemented) write whole flex residues in "
-                           "out_flex; a warning is logged if set")
+                      help="output entire structure for out_flex, not just "
+                           "flexible residues")
     gout.add_argument("--log", help="log file")
     gout.add_argument("-q", "--quiet", action="store_true")
     gout.add_argument("--verbosity", type=int, default=1,
@@ -347,9 +347,6 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     add_h = _onoff(args.addH, True)
     strip_h = _onoff(args.stripH, True)
-    if args.full_flex_output:
-        log.write("WARNING: --full_flex_output is not implemented; "
-                  "out_flex contains movable flex atoms only\n")
     settings = DockSettings(
         scoring=args.scoring if args.scoring != "default" else "vina",
         exhaustiveness=args.exhaustiveness,
@@ -671,7 +668,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.out_flex and lig.flex_meta:
             from gnina_tpu.output import write_flex_pdb
 
-            out_flex_chunks.append(write_flex_pdb(lig, results))
+            out_flex_chunks.append(write_flex_pdb(
+                lig, results,
+                rigid=rec.mol if args.full_flex_output else None))
     if n_ligs == 0:
         log.write("ERROR: no ligands could be read from: "
                   + " ".join(args.ligand) + "\n")
@@ -840,7 +839,10 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
                     part_f.write(sdf_text)
                     if args.out_flex and lig.flex_meta:
                         part_f.write(f"#GNINA_TPU_FLEX {idx}\n")
-                        part_f.write(write_flex_pdb(lig, res))
+                        part_f.write(write_flex_pdb(
+                            lig, res,
+                            rigid=rec.mol if args.full_flex_output
+                            else None))
                     part_f.flush()
 
     def dock_bucket(item):
@@ -901,7 +903,9 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
             if args.atom_terms and tables:
                 atom_chunks.extend(tables)
         if args.out_flex and lig.flex_meta:
-            out_flex_chunks.append(write_flex_pdb(lig, results))
+            out_flex_chunks.append(write_flex_pdb(
+                lig, results,
+                rigid=rec.mol if args.full_flex_output else None))
     if args.out:
         if dist:
             # each host writes its slice; process 0 stitches global order

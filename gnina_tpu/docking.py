@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import sys
 from typing import List, Optional, Tuple
 
 import jax
@@ -156,6 +157,15 @@ class PoseResult:
 
 def _round_up(x: int, m: int) -> int:
     return max(((x + m - 1) // m) * m, m)
+
+
+def _async_tick_budget(tick_budget: int, mc_steps: int, m_nodes: int,
+                       vmem_cap: int = 10 << 20) -> int:
+    """Async candidate-stream VMEM guard (r3 ADVICE): the stream outputs
+    hold mc_steps*tick_budget*(11+m) 128-lane f32 rows per block; cap
+    them at vmem_cap bytes by scaling the tick budget down (floor 8)."""
+    row_bytes = (11 + m_nodes) * 128 * 4
+    return min(tick_budget, max(vmem_cap // row_bytes // max(mc_steps, 1), 8))
 
 
 def exact_split(efn, lig_d: LigandData, rec_d: ReceptorData, conf: Conf,
@@ -868,12 +878,28 @@ class DockingEngine:
             fdims = pdk._static_dims(fused_pack)
             n_hvy = int((fused_pack.heavy_idx >= 0).sum(axis=1).max())
             dp = mesh.shape["dp"] if mesh is not None else 1
+            # async candidate-stream VMEM guard (r3 ADVICE): the stream
+            # outputs are (mc_steps*tick_budget*(11+m)) x 128-lane f32
+            # rows per block; cap them at ~10 MB of per-core VMEM by
+            # scaling the tick budget down for high-torsion packs
+            # (floor 8 ticks/step — pathological lanes just carry their
+            # chain state into the next window)
+            tick_budget = int(s.fused_mc_tick_budget)
+            if s.fused_mc_in_kernel and s.fused_async_mc:
+                mcs_g = max(int(s.fused_mc_steps) or 16, 1)
+                m_nodes = fused_pack.nodeoh.shape[0]
+                guarded = _async_tick_budget(tick_budget, mcs_g, m_nodes)
+                if guarded < tick_budget:
+                    print(f"gnina_tpu: async MC tick budget {tick_budget} "
+                          f"-> {guarded} (candidate stream VMEM guard, "
+                          f"{m_nodes} tree nodes)", file=sys.stderr)
+                    tick_budget = guarded
             prog_key = ("fused", fdims, n_hvy, chunk, miniters,
                         s.exhaustiveness, num_out, s.fused_done_frac,
                         s.fused_mc_in_kernel, s.fused_mc_steps, dp,
                         s.fused_ls_trials, s.fused_ls_factor,
                         s.fused_async_ls, s.fused_async_mc,
-                        s.fused_mc_tick_budget)
+                        tick_budget)
         else:
             chunk = min(num_steps, max(32, base_chunk * 64 // max(lanes, 64)))
             fdims = None
@@ -908,7 +934,7 @@ class DockingEngine:
                         ls_factor=s.fused_ls_factor,
                         async_ls=s.fused_async_ls,
                         async_mc=s.fused_async_mc,
-                        tick_budget=s.fused_mc_tick_budget)
+                        tick_budget=tick_budget)
             progs = self._build_dock_program(
                 max_layers, chunk, miniters, num_out, cnn_obj,
                 use_cnn_metro, use_cnn_refine, use_cnn_search,
