@@ -90,6 +90,19 @@ def main():
     if os.path.exists(pp):
         with open(pp) as f:
             out["detail"]["path_parity"] = json.load(f)
+    # multi-fixture multi-seed correctness gate (scripts/quality_gate.py,
+    # the reference's test/gnina/correctness.py bar)
+    qg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "QUALITY.json")
+    if os.path.exists(qg):
+        with open(qg) as f:
+            q = json.load(f)
+        out["detail"]["quality_gate"] = {
+            "ok": q.get("ok"), "pearson_r": q.get("pearson_r"),
+            "fused_settings": q.get("fused_settings"),
+            "fixtures": {k: {"gap": v.get("gap"), "tol": v.get("tol"),
+                             "ok": v.get("ok")}
+                         for k, v in q.get("fixtures", {}).items()}}
 
     # heterogeneous screen config (VERDICT r3 item 9): mixed ligands
     # (10gs + 184l + 3rod) through the CLI screen path, so shape

@@ -62,9 +62,17 @@ class Receptor:
         Hydrogens are dropped by default: every energy path skips them
         (non_cache.cpp:59), so carrying them only inflates the pair tensor.
         """
-        lo = center - half_span - margin
-        hi = center + half_span + margin
-        keep = np.all((self.coords >= lo) & (self.coords <= hi), axis=1)
+        # distance-to-box test, not an expanded AABB: atoms in the
+        # expanded box's corners are > margin from every in-box ligand
+        # atom and contribute nothing (szv_grid.h:53-101 collects
+        # possibilities by cutoff_sqr from the covering cells, which
+        # excludes those corners too).  ~10% fewer receptor rows on a
+        # typical 20 A box -> fewer KB tiles in the fused kernel.
+        lo = center - half_span
+        hi = center + half_span
+        d = (np.maximum(self.coords - hi, 0.0)
+             + np.maximum(lo - self.coords, 0.0))
+        keep = (d * d).sum(axis=1) <= margin * margin
         if drop_hydrogens:
             keep &= ~IS_HYDROGEN[self.types]
         idx = np.where(keep)[0]

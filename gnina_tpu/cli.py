@@ -96,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
     gsc.add_argument("--randomize_only", action="store_true")
     gsc.add_argument("--minimize_iters", type=int, default=0)
     gsc.add_argument("--accurate_line", action="store_true")
+    gsc.add_argument("--simple_ascent", action="store_true",
+                     help="use simple gradient ascent (legacy steepest "
+                          "descent) instead of BFGS")
+    gsc.add_argument("--minimize_single_full", action="store_true",
+                     help="during docking perform a single full "
+                          "minimization instead of a truncated "
+                          "pre-evaluate followed by a full one")
     gsc.add_argument("--minimize_early_term", action="store_true",
                      help="stop minimization before convergence based on "
                           "simple progress heuristic")
@@ -363,6 +370,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         accurate_line_search=args.accurate_line,
         local_only=bool(args.local_only and not args.minimize),
         minimize_early_term=args.minimize_early_term,
+        simple_ascent=args.simple_ascent,
+        minimize_single_full=args.minimize_single_full,
         cnn_scoring=args.cnn_scoring,
         cnn_rotations=args.cnn_rotations,
         cnn_mix_emp_force=args.cnn_mix_emp_force,

@@ -67,6 +67,12 @@ class DockSettings:
     # --minimize_early_term (main.cpp:966-969): stop minimization before
     # convergence on a simple progress heuristic (bfgs.h early_term)
     minimize_early_term: bool = False
+    # --simple_ascent (main.cpp:1189-1191): legacy adaptive steepest
+    # descent (ops/ssd.py) instead of BFGS
+    simple_ascent: bool = False
+    # --minimize_single_full (main.cpp:987): one full-v minimization per
+    # MC step instead of hunt-cap pre-evaluate + full-v refine
+    minimize_single_full: bool = False
     cnn_scoring: str = "rescore"   # none|rescore|refinement|all
     cnn_rotations: int = 0
     # CNN/empirical mixing in the CNN minimization objective
@@ -354,6 +360,8 @@ class DockingEngine:
             iters = (self.settings.minimize_iters
                      if self.settings.minimize_iters > 0 else 10000)
             ls_type = "accurate"
+        if self.settings.simple_ascent:
+            ls_type = "simple"   # main.cpp:1189-1191
         iters = min(iters, 10000)
         minpar = MinimizeParams(maxiters=iters, type=ls_type,
                                 early_term=self.settings.minimize_early_term)
@@ -788,6 +796,8 @@ class DockingEngine:
             return False
         if self.cnn is not None and s.cnn_scoring not in ("none", "rescore"):
             return False
+        if s.simple_ascent or s.minimize_single_full:
+            return False  # hidden testing minimizer variants: XLA path
         for l in ligs:
             if l.num_lig_atoms not in (-1, l.num_atoms):
                 return False  # flex residues attached
@@ -1103,12 +1113,20 @@ class DockingEngine:
         s = self.settings
         minpar = MinimizeParams(
             maxiters=miniters,
-            type="accurate" if s.accurate_line_search else "fast",
+            type=("simple" if s.simple_ascent
+                  else "accurate" if s.accurate_line_search else "fast"),
             fused_trials=s.fused_line_search,
             early_term=s.minimize_early_term)
+        # --minimize_single_full (main.cpp:987, monte_carlo.cpp:117-133):
+        # minimize at full v from the start and skip the separate full-v
+        # refinement of promising poses
+        hunt = ((1000.0, 1000.0, 1000.0) if s.minimize_single_full
+                else mc.MCParams.hunt_cap)
+        stride = (max(chunk_steps, 1 << 20) if s.minimize_single_full
+                  else s.refine_stride)
         mcpar = mc.MCParams(num_steps=chunk_steps, temperature=s.temperature,
                             num_saved_mins=num_out, minparams=minpar,
-                            refine_stride=s.refine_stride)
+                            hunt_cap=hunt, refine_stride=stride)
         cap = jnp.full((3,), s.forcecap, jnp.float32)
         efn = self._make_efn(max_layers)
         refine = self._build_refine(efn, minpar, cap)

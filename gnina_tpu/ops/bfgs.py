@@ -180,6 +180,14 @@ def bfgs(f: Callable, x0: Conf, params: MinimizeParams,
         def f_val(c):
             return f(c)[0]
 
+    if params.type == "simple":
+        # --simple_ascent (main.cpp:1189-1191, quasi_newton.cpp:76):
+        # legacy adaptive steepest descent instead of BFGS
+        from gnina_tpu.ops.ssd import SSDParams, ssd
+
+        r = ssd(f, x0, SSDParams(evals=params.maxiters), dof_mask=dof_mask)
+        return BfgsResult(x=r.x, f0=r.f0, g=r.g)
+
     f0_init, g_init = f(x0)
     d = g_init.shape[-1]
     if dof_mask is not None:

@@ -136,3 +136,17 @@ def test_cli_outputmin_frames(tmp_path, monkeypatch):
     ref = build_tree_from_molecule(
         list(sdfmod.iter_sdf(f"{DATA}/noelem.sdf"))[0])
     np.testing.assert_allclose(mols[0].coords(), ref.orig_coords, atol=2e-3)
+
+
+def test_cli_simple_ascent_minimize(tmp_path):
+    """--simple_ascent (main.cpp:1189-1191): legacy steepest descent
+    drives --minimize and still improves the pose."""
+    out = str(tmp_path / "min.sdf")
+    log = str(tmp_path / "log.txt")
+    rc = main(["-r", f"{DATA}/noelem_rec.pdb", "-l", f"{DATA}/noelem.sdf",
+               "--minimize", "--minimize_iters", "150", "--simple_ascent",
+               "--cnn_scoring", "none", "-o", out, "--log", log, "-q"])
+    assert rc == 0
+    text = open(log).read()
+    aff = float(text.split("Affinity:")[1].split()[0])
+    assert aff < -8.0  # score_only input is ~-8.09; descent improves it
