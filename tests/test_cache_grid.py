@@ -86,7 +86,11 @@ def test_out_of_box_penalty_gradient(system):
 
     conf = initial_conf(lig, lig_d.num_torsion_slots)
     coords = np.array(fk.fk_coords(lig_d, conf, max_layers))  # writable copy
-    coords[0] = np.asarray(box.hi) + 3.0  # push atom 0 far out
+    # pick a HEAVY atom: noelem's atom 0 is the no-element `*` atom the
+    # reference ignores (typed Hydrogen, excluded from every term —
+    # PDBQTUtilities.cpp:402-427 semantics), so its gradient is rightly 0
+    a = int(np.argmax(np.asarray(lig_d.heavy_mask)))
+    coords[a] = np.asarray(box.hi) + 3.0  # push the atom far out
     g = np.asarray(jax.grad(f)(jnp.asarray(coords)))
     # out-of-box: gradient = +slope per overflowing axis (grid.cpp:180)
-    assert np.allclose(g[0], 1e3, rtol=1e-3)
+    assert np.allclose(g[a], 1e3, rtol=1e-3)
