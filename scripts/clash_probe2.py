@@ -157,9 +157,7 @@ def main():
 
     rigid, tors = pdk.conf_to_packed(
         jax.tree_util.tree_map(lambda a: a[None], conf), m)
-    coords_k = np.asarray(pdk.fk_packed(rigid, tors, pack))[0]  # (3,N) lane0?
-    if coords_k.ndim == 3:
-        coords_k = coords_k[:, :, 0]
+    coords_k = np.asarray(pdk.fk_packed(rigid, tors, pack))[:, :, 0]  # (3,N)
     coords_x_full = np.asarray(fk.fk_coords(lig_d, conf, max_layers))  # (N,3)
     hidx = pack.heavy_idx[0]
     hsel = hidx[hidx >= 0]
@@ -190,10 +188,25 @@ def main():
     pb_ = np.asarray(lig_d.pair_b)
     hmask_full = np.asarray(lig_d.heavy_mask)
     pm_h = pm & hmask_full[pa_] & hmask_full[pb_]
-    lig_h = dataclasses.replace(lig_d, pair_mask=jnp2.asarray(pm_h))
+    lig_h = lig_d._replace(pair_mask=jnp2.asarray(pm_h))
     e_ira_xh = float(efn.eval_intra(lig_h, conf, jnp2.float32(10.0)))
     print(f"XLA intra heavy-pairs-only = {e_ira_xh:.4f} "
           f"(H-pair contribution = {e_ira_x - e_ira_xh:.4f})")
+
+    # ---- 3b. cancellation check: numpy replica of the XLA r^2 identity ---
+    adj = np.clip(coords_x_full, lo, hi).astype(np.float32)
+    recc = np.asarray(rec_d.coords, np.float32)
+    r2_mm = (np.sum(adj * adj, axis=1, dtype=np.float32)[:, None]
+             + np.sum(recc * recc, axis=1, dtype=np.float32)[None, :]
+             - 2.0 * (adj @ recc.T).astype(np.float32))
+    dx_ = adj[:, None, :] - recc[None, :, :]
+    r2_ex = np.sum(dx_ * dx_, axis=-1, dtype=np.float32)
+    close = r2_ex < 4.0
+    if close.any():
+        err = np.abs(r2_mm - r2_ex)[close]
+        print(f"r2 identity-vs-exact (pairs r<2A): max abs err "
+              f"{err.max():.4f}, mean {err.mean():.4f} "
+              f"({close.sum()} close pairs)")
 
     # ---- 4. kernel f0 + full stats at maxiters=1 --------------------------
     fker = pdk.FusedBfgs(sf, pack, maxiters=1, want_metro=False,

@@ -47,6 +47,15 @@ def main():
     mol = list(sdf.iter_sdf(f"{data}/noelem.sdf"))[0]
     lig = build_tree_from_molecule(mol)
     center, size = ingest.autobox_ligand(f"{data}/noelem.sdf")
+    from gnina_tpu.constants import IS_HYDROGEN
+    # drop receptor hydrogens like the production paths do (szv_grid.h:91
+    # excludes them; pad_receptor masks them): an earlier version of this
+    # probe kept them in the kernel pack but not the XLA side, which
+    # manufactured a phantom "energy divergence"
+    hkeep = ~IS_HYDROGEN[rec.types]
+    rec = dataclasses.replace(rec, coords=rec.coords[hkeep],
+                              types=rec.types[hkeep],
+                              charges=rec.charges[hkeep])
     d = np.linalg.norm(rec.coords - np.asarray(center)[None, :], axis=1)
     keep = np.argsort(d)[:250]
     rec = dataclasses.replace(rec, coords=rec.coords[keep],
@@ -113,6 +122,12 @@ def main():
                               n_iter=int((pack.heavy_idx >= 0).sum()))
     rigid, tors = pdk.conf_to_packed(
         jax.tree_util.tree_map(lambda a: a[None], conf), m)
+    # pad the lane axis to the kernel block width: interpret mode fills
+    # out-of-spec reads with NaN, and NaN padding lanes poison the kernel's
+    # whole-block reductions (sum(donef) in the loop conditions) — the
+    # original version of this probe skipped every BFGS iteration that way
+    rigid = jnp.pad(rigid, ((0, 0), (0, l_pad - 1)))
+    tors = jnp.pad(tors, ((0, 0), (0, l_pad - 1)))
     scal = fused_dbg.scal(10.0, 10.0, 0.0, 1000.0, jnp.asarray(lo),
                           jnp.asarray(hi))
     org, otr, stats, coords = fused_dbg(rigid, tors, scal, pack=pack)

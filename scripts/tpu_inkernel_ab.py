@@ -42,12 +42,13 @@ def main():
     async_ls = os.environ.get("AB_ASYNC", "0") == "1"
     async_mc = os.environ.get("AB_ASYNC_MC", "0") == "1"
     tick_budget = int(os.environ.get("AB_TICKS", "24"))
+    mc_steps = int(os.environ.get("AB_MC_STEPS", "16"))
     eng = DockingEngine(DockSettings(
         cnn_scoring="none", seed=1, num_mc_steps=steps, exhaustiveness=8,
         fused_search="on", fused_mc_in_kernel=(mode == "ink"),
         fused_ls_trials=trials, fused_ls_factor=factor,
         fused_async_ls=async_ls, fused_async_mc=async_mc,
-        fused_mc_tick_budget=tick_budget))
+        fused_mc_tick_budget=tick_budget, fused_mc_steps=mc_steps))
 
     t0 = time.time()
     eng.dock_batch(rec, [lig] * nlig, center, size, seed=1)
@@ -60,6 +61,7 @@ def main():
     print(json.dumps({
         "mode": mode, "steps": steps, "nlig": nlig, "trials": trials,
         "factor": factor, "async_ls": async_ls, "async_mc": async_mc,
+        "tick_budget": tick_budget, "mc_steps": mc_steps,
         "compile_s": round(compile_s, 1), "wall_s": round(wall, 2),
         "lig_per_s": round(nlig / wall, 4),
         "mean_best": round(float(np.mean(bests)), 3),
