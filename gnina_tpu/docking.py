@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import sys
 from typing import List, Optional, Tuple
 
 import jax
@@ -163,15 +162,6 @@ class PoseResult:
 
 def _round_up(x: int, m: int) -> int:
     return max(((x + m - 1) // m) * m, m)
-
-
-def _async_tick_budget(tick_budget: int, mc_steps: int, m_nodes: int,
-                       vmem_cap: int = 10 << 20) -> int:
-    """Async candidate-stream VMEM guard (r3 ADVICE): the stream outputs
-    hold mc_steps*tick_budget*(11+m) 128-lane f32 rows per block; cap
-    them at vmem_cap bytes by scaling the tick budget down (floor 8)."""
-    row_bytes = (11 + m_nodes) * 128 * 4
-    return min(tick_budget, max(vmem_cap // row_bytes // max(mc_steps, 1), 8))
 
 
 def exact_split(efn, lig_d: LigandData, rec_d: ReceptorData, conf: Conf,
@@ -888,22 +878,12 @@ class DockingEngine:
             fdims = pdk._static_dims(fused_pack)
             n_hvy = int((fused_pack.heavy_idx >= 0).sum(axis=1).max())
             dp = mesh.shape["dp"] if mesh is not None else 1
-            # async candidate-stream VMEM guard (r3 ADVICE): the stream
-            # outputs are (mc_steps*tick_budget*(11+m)) x 128-lane f32
-            # rows per block; cap them at ~10 MB of per-core VMEM by
-            # scaling the tick budget down for high-torsion packs
-            # (floor 8 ticks/step — pathological lanes just carry their
-            # chain state into the next window)
+            # The async candidate stream is completion-indexed (one-hot
+            # accumulate at the lane's step counter, ops/pallas_dock.py),
+            # so its VMEM footprint is mc_steps*(11+m) rows — independent
+            # of tick_budget.  The r3 ADVICE VMEM guard that scaled the
+            # budget down for high-torsion packs is no longer needed.
             tick_budget = int(s.fused_mc_tick_budget)
-            if s.fused_mc_in_kernel and s.fused_async_mc:
-                mcs_g = max(int(s.fused_mc_steps) or 16, 1)
-                m_nodes = fused_pack.nodeoh.shape[0]
-                guarded = _async_tick_budget(tick_budget, mcs_g, m_nodes)
-                if guarded < tick_budget:
-                    print(f"gnina_tpu: async MC tick budget {tick_budget} "
-                          f"-> {guarded} (candidate stream VMEM guard, "
-                          f"{m_nodes} tree nodes)", file=sys.stderr)
-                    tick_budget = guarded
             prog_key = ("fused", fdims, n_hvy, chunk, miniters,
                         s.exhaustiveness, num_out, s.fused_done_frac,
                         s.fused_mc_in_kernel, s.fused_mc_steps, dp,

@@ -180,5 +180,8 @@ def make_energy_fn(sf: ScoringFunction, max_layers: int,
                     inter_on_coords=inter_energy)
 
 
-AUTHENTIC_V = jnp.array([1000.0, 1000.0, 1000.0], jnp.float32)
-NO_CAP = jnp.array([MAX_FL, MAX_FL, MAX_FL], jnp.float32)
+# numpy, not jnp: module-level jnp constants initialize the XLA backend
+# at import, breaking the multi-host CLI (rendezvous must precede any
+# backend touch)
+AUTHENTIC_V = np.array([1000.0, 1000.0, 1000.0], np.float32)
+NO_CAP = np.array([MAX_FL, MAX_FL, MAX_FL], np.float32)

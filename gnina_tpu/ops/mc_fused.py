@@ -278,32 +278,28 @@ def fused_mc_chunk_inkernel(carry: mc.MCCarry, key, num_steps: int,
         if l_pad > lanes:
             ecur = jnp.pad(ecur, ((0, 0), (0, l_pad - lanes)))
         if fused_mc.async_mc:
-            # tick-indexed stream: candidates complete at per-lane ticks;
-            # compress the first S completed rows per lane to step order
-            # and rebuild their coordinates with the XLA twin of the
-            # kernel FK (the async stream carries conf only)
+            # completion-indexed stream (component-major (C*S, L) slabs):
+            # the kernel lands a lane's j-th completed step at row j via a
+            # one-hot accumulate, so the host reads step order directly —
+            # no tick compression.  Rows a budget-exhausted lane never
+            # completed are zero (flag 0).  Coordinates are rebuilt with
+            # the XLA twin of the kernel FK (the stream carries conf only).
             (frigid, ftors, fstats, fcoords, srig, stor,
              sstat) = fused_mc.run_mc(rigid, tors, scal_hunt, seed, ecur,
                                       pack=pack)
-            t_total = s_steps * fused_mc.tick_budget
-            arig = srig.reshape(t_total, 8, l_pad)
-            ator = stor.reshape(t_total, m, l_pad)
-            astat = sstat.reshape(t_total, 3, l_pad)
-            flag = astat[:, 2, :] > 0.5                   # (T, l_pad)
-            order = jnp.argsort(
-                jnp.where(flag, jnp.arange(t_total)[:, None],
-                          t_total + 1), axis=0)[:s_steps]  # (S, l_pad)
-            validp = jnp.take_along_axis(flag, order, axis=0)
-            crig_p = jnp.take_along_axis(arig, order[:, None, :], axis=0)
-            ctor_p = jnp.take_along_axis(ator, order[:, None, :], axis=0)
-            stat_p = jnp.take_along_axis(astat, order[:, None, :], axis=0)
-            # rows past the exit tick are uninitialized VMEM: neutralize
-            # before FK so garbage cannot poison downstream selects
+            crig_p = jnp.transpose(srig.reshape(8, s_steps, l_pad),
+                                   (1, 0, 2))             # (S, 8, l_pad)
+            ctor_p = jnp.transpose(stor.reshape(m, s_steps, l_pad),
+                                   (1, 0, 2))             # (S, M, l_pad)
+            stat_p = jnp.transpose(sstat.reshape(3, s_steps, l_pad),
+                                   (1, 0, 2))             # (S, 3, l_pad)
+            validp = stat_p[:, 2, :] > 0.5                # (S, l_pad)
+            # never-completed rows are zeros (quat 0): neutralize before
+            # FK so degenerate quaternions cannot poison downstream math
             ident = jnp.asarray([0, 0, 0, 1, 0, 0, 0, 0],
                                 jnp.float32).reshape(1, 8, 1)
             safe = validp[:, None, :]
             crig_p = jnp.where(safe, crig_p, ident)
-            ctor_p = jnp.where(safe, ctor_p, 0.0)
             ccrd_p = jax.vmap(lambda r, t: pd.fk_packed(r, t, pack))(
                 crig_p, ctor_p)                           # (S, 3, N, l_pad)
             validS = validp[..., :lanes]                  # (S, L)

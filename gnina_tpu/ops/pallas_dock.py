@@ -1093,9 +1093,21 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
             # chain state carries to the next invocation).
             t_total = mc_steps * tick_budget
             s_f = float(mc_steps)
-            # flags drive the host unpack: zero the stat stream so rows
-            # past the exit tick can never read as completed
-            out_sstat[:] = jnp.zeros((t_total * 3, LB), jnp.float32)
+            # The candidate stream is COMPLETION-INDEXED: a lane's j-th
+            # completed MC step lands at row j via a one-hot accumulate on
+            # its step counter (VPU lanes cannot scatter, but a (S, LB)
+            # select against a row iota can).  Stream VMEM is S rows per
+            # component — independent of tick_budget — so long windows
+            # with pooled tick budgets are feasible.  Accumulating into
+            # outputs requires zeroed buffers (rows a budget-exhausted
+            # lane never completes must read as flag 0 on the host).
+            out_srigid[:] = jnp.zeros((8 * mc_steps, LB), jnp.float32)
+            out_stors[:] = jnp.zeros((m * mc_steps, LB), jnp.float32)
+            out_sstat[:] = jnp.zeros((3 * mc_steps, LB), jnp.float32)
+            # int32 iota, f32 compare target: Mosaic's tpu.iota only
+            # produces integer vectors
+            step_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (mc_steps, LB), 0).astype(jnp.float32)
 
             fk(rigid0[:], tors0[:])
             gr0 = gyration(rigid0[:])
@@ -1208,11 +1220,22 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                 phase_n = jnp.where(cdone, 1.0,
                                     jnp.where(is_start, 0.0, phase))
 
-                out_srigid[pl.ds(tick * 8, 8), :] = rigid_n
-                out_stors[pl.ds(tick * m, m), :] = tors_n
-                out_sstat[pl.ds(tick * 3, 3), :] = jnp.concatenate(
-                    [e_new, macc.astype(jnp.float32),
-                     cdone.astype(jnp.float32)], axis=0)
+                # completion-indexed stream write: one-hot row = the
+                # lane's (pre-increment) step counter, gated on cdone.
+                # where-selects, not multiplies: 0 * non-finite candidate
+                # values would poison the accumulated buffer (NaN rule).
+                oh = jnp.logical_and(step_iota == stepc, cdone)  # (S, LB)
+                for c in range(8):
+                    out_srigid[pl.ds(c * mc_steps, mc_steps), :] += \
+                        jnp.where(oh, rigid_n[c:c + 1, :], 0.0)
+                for c in range(m):
+                    out_stors[pl.ds(c * mc_steps, mc_steps), :] += \
+                        jnp.where(oh, tors_n[c:c + 1, :], 0.0)
+                out_sstat[pl.ds(0, mc_steps), :] += jnp.where(oh, e_new, 0.0)
+                out_sstat[pl.ds(mc_steps, mc_steps), :] += jnp.where(
+                    jnp.logical_and(oh, macc), 1.0, 0.0)
+                out_sstat[pl.ds(2 * mc_steps, mc_steps), :] += jnp.where(
+                    oh, 1.0, 0.0)
 
                 return (tick + 1, crigid_n, ctors_n, e_cur_n, gr_cur_n,
                         rigid_n, tors_n, g_n, h, f0_n, met_n, gr_cand_n,
@@ -1300,13 +1323,14 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
             lane_spec(1),                            # ecur0
         ]
         if async_mc:
-            t_total = mc_steps * tick_budget
-            out_specs += [lane_spec(t_total * 8), lane_spec(t_total * m),
-                          lane_spec(t_total * 3)]
+            # completion-indexed stream: component-major (C * S, L) slabs,
+            # independent of tick_budget (see the one-hot accumulate above)
+            out_specs += [lane_spec(8 * mc_steps), lane_spec(m * mc_steps),
+                          lane_spec(3 * mc_steps)]
             out_shape += [
-                jax.ShapeDtypeStruct((t_total * 8, l_total), jnp.float32),
-                jax.ShapeDtypeStruct((t_total * m, l_total), jnp.float32),
-                jax.ShapeDtypeStruct((t_total * 3, l_total), jnp.float32),
+                jax.ShapeDtypeStruct((8 * mc_steps, l_total), jnp.float32),
+                jax.ShapeDtypeStruct((m * mc_steps, l_total), jnp.float32),
+                jax.ShapeDtypeStruct((3 * mc_steps, l_total), jnp.float32),
             ]
         else:
             out_specs += [lane_spec(mc_steps * 8), lane_spec(mc_steps * m),

@@ -9,10 +9,14 @@ optimizer — but vectorized over arbitrary batch shapes.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from gnina_tpu.constants import EPSILON_FL
 
-QT_IDENTITY = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+# numpy, not jnp: a module-level jnp constant initializes the XLA
+# backend at import, which breaks jax.distributed.initialize in the
+# multi-host CLI path (it must run before any backend touch)
+QT_IDENTITY = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
 
 
 def qmul(q, r):

@@ -48,7 +48,9 @@ def test_real_rendezvous_screen(tmp_path):
         "--autobox_ligand", f"{DATA}/noelem.sdf",
         "--cnn_scoring", "none", "--num_mc_steps", "4",
         "--exhaustiveness", "1", "--num_mc_saved", "2", "--num_modes", "1",
-        "--seed", "5", "-o", outfile, "-q",
+        # NOT -q: the final assertion reads rank 0's merge log line,
+        # which quiet mode rightly suppresses
+        "--seed", "5", "-o", outfile,
         "--dist_nprocs", "2",
         "--dist_coordinator", f"127.0.0.1:{port}",
     ]

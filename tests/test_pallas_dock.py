@@ -164,18 +164,22 @@ def test_async_mc_kernel_accounting(system):
     (frigid, ftors, fstats, fcoords, srig, stor,
      sstat) = fused.run_mc(rigid, tors, scal, 7, ecur)
 
-    t_total = S * budget
-    astat = np.asarray(sstat).reshape(t_total, 3, l_pad)
-    flags = astat[:, 2, :lanes] > 0.5
-    assert (flags.sum(axis=0) == S).all(), flags.sum(axis=0)
+    # completion-indexed stream: component-major (3, S, l_pad); a lane's
+    # j-th completed step is row j, so with a sufficient budget every
+    # step row must carry a completion flag
+    astat = np.asarray(sstat).reshape(3, S, l_pad)
+    flags = astat[2, :, :lanes] > 0.5
+    assert flags.all(), flags.sum(axis=0)
     # per-lane steps-completed diagnostic (stats row 4) agrees
     np.testing.assert_array_equal(np.asarray(fstats[4, :lanes]),
                                   np.full(lanes, float(S)))
-    # metropolis accept flags only on completion ticks
-    acc = astat[:, 1, :lanes] > 0.5
+    # accept flags only on completed rows, and at most one write per row
+    # (the one-hot accumulate writes each completion exactly once)
+    assert (astat[2, :, :lanes] <= 1.0).all()
+    acc = astat[1, :, :lanes] > 0.5
     assert not (acc & ~flags).any()
     # completed candidate energies finite
-    e = astat[:, 0, :lanes]
+    e = astat[0, :, :lanes]
     assert np.isfinite(e[flags]).all()
     # final chain state finite and energy consistent with some candidate
     assert np.isfinite(np.asarray(fstats[0, :lanes])).all()
