@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import sys
 from typing import List, Optional, Tuple
 
 import jax
@@ -162,6 +163,21 @@ class PoseResult:
 
 def _round_up(x: int, m: int) -> int:
     return max(((x + m - 1) // m) * m, m)
+
+
+def _async_mc_steps_guard(mc_steps: int, m_nodes: int,
+                          vmem_cap: int = 10 << 20) -> int:
+    """Window-length VMEM guard for the async in-kernel MC: the
+    completion-indexed candidate stream holds mc_steps*(11+m) 128-lane
+    f32 rows and the BFGS Hessian scratch (7+m)^2 lanes; scale the
+    window down (floor 16 steps) so both stay under ~vmem_cap bytes of
+    per-core VMEM on high-torsion packs.  Low-torsion ligands keep the
+    long default window untouched."""
+    lane_bytes = 4 * 128
+    fixed = (7 + m_nodes) ** 2 * lane_bytes      # Hessian scratch
+    row = (11 + m_nodes) * lane_bytes            # stream rows per step
+    budget = max(vmem_cap - fixed, row * 16)
+    return int(min(mc_steps, max(budget // row, 16)))
 
 
 def exact_split(efn, lig_d: LigandData, rec_d: ReceptorData, conf: Conf,
@@ -867,12 +883,6 @@ class DockingEngine:
             # fused steps are ~10-30x cheaper per lane than the XLA path
             chunk = min(num_steps,
                         max(32, base_chunk * 128 // max(lanes, 128)))
-            if s.fused_mc_in_kernel:
-                # the in-kernel MC runs in windows of fused_mc_steps; the
-                # chunk must be a whole number of windows or the executed
-                # step count silently drifts from the requested one
-                mcs = max(int(s.fused_mc_steps) or 16, 1)
-                chunk = max(((chunk + mcs - 1) // mcs) * mcs, mcs)
             from gnina_tpu.ops import pallas_dock as pdk
 
             fdims = pdk._static_dims(fused_pack)
@@ -881,12 +891,27 @@ class DockingEngine:
             # The async candidate stream is completion-indexed (one-hot
             # accumulate at the lane's step counter, ops/pallas_dock.py),
             # so its VMEM footprint is mc_steps*(11+m) rows — independent
-            # of tick_budget.  The r3 ADVICE VMEM guard that scaled the
-            # budget down for high-torsion packs is no longer needed.
+            # of tick_budget; the guard scales the WINDOW LENGTH down for
+            # high-torsion packs instead of the r3 tick-budget guard.
+            mcs = 0
+            if s.fused_mc_in_kernel:
+                mcs = max(int(s.fused_mc_steps) or 16, 1)
+                if s.fused_async_mc:
+                    m_nodes = fused_pack.nodeoh.shape[0]
+                    guarded = _async_mc_steps_guard(mcs, m_nodes)
+                    if guarded < mcs:
+                        print(f"gnina_tpu: async MC window {mcs} -> "
+                              f"{guarded} steps (VMEM guard, {m_nodes} "
+                              "tree nodes)", file=sys.stderr)
+                        mcs = guarded
+                # the in-kernel MC runs in windows of mcs steps; the
+                # chunk must be a whole number of windows or the executed
+                # step count silently drifts from the requested one
+                chunk = max(((chunk + mcs - 1) // mcs) * mcs, mcs)
             tick_budget = int(s.fused_mc_tick_budget)
             prog_key = ("fused", fdims, n_hvy, chunk, miniters,
                         s.exhaustiveness, num_out, s.fused_done_frac,
-                        s.fused_mc_in_kernel, s.fused_mc_steps, dp,
+                        s.fused_mc_in_kernel, mcs, dp,
                         s.fused_ls_trials, s.fused_ls_factor,
                         s.fused_async_ls, s.fused_async_mc,
                         tick_budget)
@@ -915,7 +940,7 @@ class DockingEngine:
                                           ls_factor=s.fused_ls_factor,
                                           async_ls=s.fused_async_ls)
                 if s.fused_mc_in_kernel:
-                    mcs = max(int(s.fused_mc_steps) or 16, 1)
+                    # mcs: the guarded window length computed with prog_key
                     fused_mc = pdk.FusedBfgs(
                         self.sf, fused_pack, maxiters=miniters,
                         want_metro=True, n_iter=n_hvy,

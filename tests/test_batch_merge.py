@@ -146,3 +146,23 @@ def test_async_stream_vmem_independent_of_budget():
     for m, mc_steps in ((12, 16), (33, 16), (128, 64)):
         rows = (8 + m + 3) * mc_steps        # srigid + stors + sstat rows
         assert rows * 128 * 4 <= (10 << 20), (m, mc_steps)
+
+
+def test_async_mc_window_vmem_guard():
+    """High-torsion packs scale the async MC WINDOW length down so the
+    candidate stream + Hessian scratch fit VMEM; low-torsion ligands keep
+    the long default window."""
+    from gnina_tpu.docking import _async_mc_steps_guard
+
+    assert _async_mc_steps_guard(128, 12) == 128
+    assert _async_mc_steps_guard(128, 64) == 128
+    assert _async_mc_steps_guard(128, 100) < 128
+    assert _async_mc_steps_guard(128, 300) == 16   # floor
+    # where the Hessian scratch alone fits, guarded stream + Hessian
+    # stay under the cap (beyond that the guard floors at 16 — the
+    # Hessian is a property of the DOF count, not the window)
+    for m in (12, 64, 100, 140):
+        s = _async_mc_steps_guard(128, m)
+        hess = (7 + m) ** 2 * 128 * 4
+        if s < 128 and hess < (10 << 20):
+            assert (11 + m) * s * 128 * 4 + hess <= (10 << 20), (m, s)
