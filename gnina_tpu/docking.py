@@ -106,9 +106,17 @@ class DockSettings:
     fused_mc_in_kernel: bool = True
     # Steps per in-kernel MC invocation (also the full-v refinement
     # cadence of the best accepted candidate in that window).  Larger
-    # values amortize kernel-launch + host-merge cost over more steps but
-    # refine less often.
-    fused_mc_steps: int = 16
+    # values amortize kernel-launch + host-merge cost over more steps,
+    # refine less often, and — in the async mode — POOL the tick budget
+    # across the window so slow steps borrow ticks from fast ones (less
+    # tail truncation at a given budget).  Default 128 since round 4:
+    # v5e sweep at 1024 steps x 128 lanes (10gs, ROADMAP r4 table) over
+    # window {16,64,128,256} x budget {8..32}: S=128 b16 gives ~1.7x the
+    # r3 default's throughput at identical mean best (-8.31 vs -8.32)
+    # and ~2x lower compile; S=256 adds ~10% more wall but costs ~0.2
+    # kcal/mol mean best and 3.6x the compile.  High-torsion packs are
+    # scaled down by _async_mc_steps_guard (VMEM).
+    fused_mc_steps: int = 128
     # Armijo line-search schedule inside the fused kernel.  The default is
     # the reference-exact schedule (bfgs.h:73-91: 10 halvings to 2^-9) —
     # affordable because the default async MC mode pays only each lane's
@@ -138,8 +146,11 @@ class DockSettings:
     # round 3: v5e sweep at 1024 steps x 128 lanes (10gs, ROADMAP table)
     # measures 2.38 lig/s at mean best -8.35 vs lockstep 10x2's 0.70 lig/s
     # at -8.43 — 3.4x throughput with quality inside single-seed noise.
+    # Budget 16 pooled over the 128-step window (= 2048 ticks) since
+    # round 4: quality-gate certified (QUALITY.json, 3 fixtures x 3
+    # seeds) at ~1.7x the budget-32/16-step round-3 default.
     fused_async_mc: bool = True
-    fused_mc_tick_budget: int = 32
+    fused_mc_tick_budget: int = 16
     # --outputmin N (main.cpp:1005): write minout.sdf with N interpolated
     # frames per accepted minimization step (bfgs.h:244-310)
     outputmin_frames: int = 0
@@ -896,6 +907,12 @@ class DockingEngine:
             mcs = 0
             if s.fused_mc_in_kernel:
                 mcs = max(int(s.fused_mc_steps) or 16, 1)
+                # the window is also the full-v refinement cadence: cap it
+                # at num_steps//8 (floor 16) so SHORT runs keep >=8
+                # refines — at 512 steps a 128-step window measured a
+                # 0.35 kcal/mol mean-best loss on 10gs purely from the
+                # 4-refine cadence, while 1024-step runs show none
+                mcs = min(mcs, max(num_steps // 8, 16))
                 if s.fused_async_mc:
                     m_nodes = fused_pack.nodeoh.shape[0]
                     guarded = _async_mc_steps_guard(mcs, m_nodes)
