@@ -561,7 +561,7 @@ class DockingEngine:
         rc = np.pad(rec.coords[keep], ((0, pad), (0, 0)))
         rt = np.pad(rec.types[keep], (0, pad))
         rm = np.pad(np.ones(int(keep.sum()), bool), (0, pad))
-        loss_fn = self.cnn.make_loss_fn_generic(rc, rt, rm)
+        prep_fn, loss_from_grids = self.cnn.make_loss_fn_split(rc, rt, rm)
         half_dim = self.cnn.max_dimension / 2.0
 
         # CNN/empirical mixing (non_cache_cnn.cpp:115-167): blend the
@@ -607,7 +607,16 @@ class DockingEngine:
             return jnp.sum(jnp.where(lig_d.heavy_mask[:, None], coords, 0.0),
                            axis=0) / cnt
 
-        def value(lig_d: LigandData, conf: Conf, center, slope):
+        def prep(center):
+            """Receptor density grids at a fixed center — loop-invariant
+            for a whole BFGS refinement (non_cache_cnn::adjust_center is
+            called once at minimization start).  Always differentiation-
+            free: the receptor is rigid, so these grids carry no pose
+            gradient."""
+            return jax.lax.stop_gradient(
+                prep_fn(jax.lax.stop_gradient(center)))
+
+        def value_p(rec_grids, lig_d: LigandData, conf: Conf, center, slope):
             coords = fk.fk_coords(lig_d, conf, max_layers)
             # search-box + cnn-box linear penalties per heavy atom
             def oob(lo_, hi_):
@@ -617,20 +626,27 @@ class DockingEngine:
 
             pen = slope * (oob(box.lo, box.hi)
                            + oob(center - half_dim, center + half_dim))
-            cnn_val = loss_fn(coords, lig_d.types, lig_d.atom_mask,
-                              center) + pen
+            cnn_val = loss_from_grids(rec_grids, coords, lig_d.types,
+                                      lig_d.atom_mask, center) + pen
             if emp_value is None:
                 return cnn_val
             return _mix(cnn_val, emp_value(lig_d, coords, slope))
 
-        def deriv(lig_d: LigandData, conf: Conf, center, slope):
+        def deriv_p(rec_grids, lig_d: LigandData, conf: Conf, center, slope):
             t = conf.torsions.shape[-1]
 
             def f(eps):
-                return value(lig_d, fk.conf_with_increment_var(conf, eps),
-                             center, slope)
+                return value_p(rec_grids, lig_d,
+                               fk.conf_with_increment_var(conf, eps),
+                               center, slope)
 
             return jax.value_and_grad(f)(jnp.zeros((6 + t,), jnp.float32))
+
+        def value(lig_d: LigandData, conf: Conf, center, slope):
+            return value_p(prep(center), lig_d, conf, center, slope)
+
+        def deriv(lig_d: LigandData, conf: Conf, center, slope):
+            return deriv_p(prep(center), lig_d, conf, center, slope)
 
         def value_on_coords(lig_d: LigandData, coords, slope):
             """CNN metropolis energy from precomputed lab coords (the MC
@@ -648,10 +664,12 @@ class DockingEngine:
 
             pen = slope * (oob(box.lo, box.hi)
                            + oob(center - half_dim, center + half_dim))
-            return loss_fn(coords, lig_d.types, lig_d.atom_mask, center) + pen
+            return loss_from_grids(prep(center), coords, lig_d.types,
+                                   lig_d.atom_mask, center) + pen
 
         return {"value": value, "deriv": deriv, "center_of": center_of,
-                "value_on_coords": value_on_coords}
+                "value_on_coords": value_on_coords, "prep": prep,
+                "value_p": value_p, "deriv_p": deriv_p}
 
     # -- randomize only -------------------------------------------------------
 
@@ -1397,18 +1415,25 @@ class DockingEngine:
             (main.cpp:144-158) over all ligands x saved poses."""
             box = Box(lo=lo, hi=hi)
 
-            def one(conf_l, done_l, lig_d):
+            def make_refine_pose(lig_d):
                 def refine_pose(pos, quat, tors, done):
                     conf = Conf(position=pos, orientation=quat, torsions=tors)
                     if use_cnn_refine:
                         center = jax.lax.stop_gradient(
                             cnn_obj["center_of"](lig_d, conf))
+                        # receptor grid is loop-invariant over the BFGS
+                        # (fixed center, rigid receptor): prepare it ONCE
+                        # per pose instead of re-voxelizing ~5-6k receptor
+                        # atoms inside every line-search eval
+                        rec_g = cnn_obj["prep"](center)
 
                         def f(c):
-                            return cnn_obj["deriv"](lig_d, c, center, slope_i)
+                            return cnn_obj["deriv_p"](rec_g, lig_d, c,
+                                                      center, slope_i)
 
                         def fv(c):
-                            return cnn_obj["value"](lig_d, c, center, slope_i)
+                            return cnn_obj["value_p"](rec_g, lig_d, c,
+                                                      center, slope_i)
                     else:
                         def f(c):
                             return efn.eval_deriv(lig_d, rec_d, c, box,
@@ -1425,17 +1450,40 @@ class DockingEngine:
                         conf)
                     return out, jnp.logical_or(done, new_done)
 
-                conf2, done2 = jax.vmap(refine_pose)(
+                return refine_pose
+
+            def one(conf_l, done_l, lig_d):
+                conf2, done2 = jax.vmap(make_refine_pose(lig_d))(
                     conf_l.position, conf_l.orientation, conf_l.torsions,
                     done_l)
                 return conf2, done2
 
             if use_cnn_refine:
-                # sequential over ligands, vmapped over saved poses: a full
-                # vmap would materialize (ligands x num_out) CNN grids at
-                # once (~12 MB each) and blow HBM on real screens
-                return jax.lax.map(lambda args: one(*args),
-                                   (mconf, mdone, lig_batch))
+                # sequential over ligands AND over pose chunks, vmapped
+                # only within a chunk: each concurrently-refined pose
+                # holds per-model rec+lig grids (~12 MB each) plus conv
+                # activations, so a full (ligands x num_out) vmap blows
+                # HBM on real screens
+                nout = mdone.shape[1]
+                pb = next(p for p in range(min(8, nout), 0, -1)
+                          if nout % p == 0)
+
+                def one_chunked(args):
+                    conf_l, done_l, lig_d = args
+
+                    def chunk(cargs):
+                        c_pos, c_quat, c_tors, c_done = cargs
+                        return jax.vmap(make_refine_pose(lig_d))(
+                            c_pos, c_quat, c_tors, c_done)
+
+                    rs = lambda x: x.reshape((nout // pb, pb) + x.shape[1:])
+                    conf2, done2 = jax.lax.map(chunk, (
+                        rs(conf_l.position), rs(conf_l.orientation),
+                        rs(conf_l.torsions), rs(done_l)))
+                    unrs = lambda x: x.reshape((nout,) + x.shape[2:])
+                    return (jax.tree_util.tree_map(unrs, conf2), unrs(done2))
+
+                return jax.lax.map(one_chunked, (mconf, mdone, lig_batch))
             return jax.vmap(one)(mconf, mdone, lig_batch)
 
         @jax.jit
@@ -1471,6 +1519,9 @@ class DockingEngine:
         """refine_structure with the CNN objective: center fixed at the
         starting pose's heavy centroid, 5-stage slope escalation."""
         center = jax.lax.stop_gradient(cnn_obj["center_of"](lig_d, conf))
+        # fixed center + rigid receptor: the receptor density grid is
+        # invariant across all 5 slope stages — voxelize it once
+        rec_g = cnn_obj["prep"](center)
         half_dim = self.cnn.max_dimension / 2.0
 
         def within(conf):
@@ -1492,10 +1543,10 @@ class DockingEngine:
             slope_i = 10.0 ** (i + 1.0)
 
             def f(c):
-                return cnn_obj["deriv"](lig_d, c, center, slope_i)
+                return cnn_obj["deriv_p"](rec_g, lig_d, c, center, slope_i)
 
             def fv(c):
-                return cnn_obj["value"](lig_d, c, center, slope_i)
+                return cnn_obj["value_p"](rec_g, lig_d, c, center, slope_i)
 
             res = bfgs(f, conf, minpar, f_val=fv)
             new_done = within(res.x)

@@ -183,6 +183,73 @@ class CNNScorer:
 
         return loss_fn
 
+    def make_loss_fn_split(self, rec_coords, rec_types, rec_mask):
+        """Receptor/ligand-split variant of make_loss_fn_generic.
+
+        Returns (prep, loss_fn):
+          prep(center) -> tuple of per-model (C, n, n, n) RECEPTOR density
+            grids (receptor channels populated, ligand channels zero);
+          loss_fn(rec_grids, lig_coords, lig_types, lig_mask, center)
+            -> scalar mean CNN loss, voxelizing ONLY the ligand atoms and
+            adding the prepared receptor grids.
+
+        Rationale (TPU): Gaussian atom densities are additive and the
+        rec/lig channel ranges are disjoint (torch_model.cpp:16-46 channel
+        maps), so grid(rec+lig) == grid(rec) + grid(lig) exactly.  The
+        receptor is rigid and the grid center is FIXED for the duration of
+        one BFGS refinement (non_cache_cnn::adjust_center semantics), so
+        the receptor grid is loop-invariant: hoisting it out of the
+        minimization (a) cuts the per-eval voxelization from ~5-6k receptor
+        atoms to the ~40 ligand atoms and (b) keeps autodiff-through-
+        lax.map from stacking (slabs, n^2, A_rec) residuals per BFGS eval —
+        a vmapped refinement of 50 poses OOM'd HBM at 125 GB on exactly
+        that buffer before this split.
+        """
+        models = self.models
+        rec_coords = jnp.asarray(rec_coords)
+        rec_types = jnp.asarray(rec_types)
+        rec_mask = jnp.asarray(rec_mask)
+
+        prepared = []
+        for m in models:
+            nrec = m.rec_typer.num_channels
+            rec_chan = jnp.asarray(m.rec_typer.table)[rec_types]
+            rec_radii = jnp.asarray(m.rec_typer.radii)[rec_types]
+            prepared.append((m, nrec, rec_chan, rec_radii))
+
+        def prep(center):
+            grids = []
+            for m, _nrec, rec_chan, rec_radii in prepared:
+                grids.append(voxelize(rec_coords, rec_chan, rec_radii,
+                                      rec_mask, center,
+                                      num_channels=m.num_channels,
+                                      npoints=m.grid_points,
+                                      resolution=m.resolution,
+                                      radius_scale=m.radius_scale))
+            return tuple(grids)
+
+        def loss_fn(rec_grids, lig_coords, lig_types, lig_mask, center):
+            lig_types = jnp.asarray(lig_types)
+            total = 0.0
+            for (m, nrec, _rc, _rr), rec_grid in zip(prepared, rec_grids):
+                lig_chan_raw = jnp.asarray(m.lig_typer.table)[lig_types]
+                lig_chan = jnp.where(lig_chan_raw >= 0, lig_chan_raw + nrec,
+                                     -1)
+                lig_radii = jnp.asarray(m.lig_typer.radii)[lig_types]
+                lig_grid = voxelize(lig_coords, lig_chan, lig_radii,
+                                    lig_mask, center,
+                                    num_channels=m.num_channels,
+                                    npoints=m.grid_points,
+                                    resolution=m.resolution,
+                                    radius_scale=m.radius_scale)
+                outputs = runtime.execute(m.spec, m.params,
+                                          (rec_grid + lig_grid)[None])
+                _pose, _aff, loss = _pose_from_outputs(m, outputs)
+                total = total + loss[0]
+            return total / len(prepared)
+
+        return prep, loss_fn
+
     def make_loss_fn(self, rec_coords, rec_types, rec_mask, lig_types):
         """Per-ligand convenience wrapper over make_loss_fn_generic."""
         generic = self.make_loss_fn_generic(rec_coords, rec_types, rec_mask)
