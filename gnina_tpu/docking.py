@@ -925,6 +925,12 @@ class DockingEngine:
             mcs = 0
             if s.fused_mc_in_kernel:
                 mcs = max(int(s.fused_mc_steps) or 16, 1)
+                if not s.fused_async_mc and mcs > 16:
+                    # the r4 window-length quality sweep (ROADMAP r4
+                    # table) certified long windows for the ASYNC mode
+                    # only; the lockstep path keeps the r3-certified
+                    # 16-step window (ADVICE r4)
+                    mcs = 16
                 # the window is also the full-v refinement cadence: cap it
                 # at num_steps//8 (floor 16) so SHORT runs keep >=8
                 # refines — at 512 steps a 128-step window measured a
@@ -1465,8 +1471,14 @@ class DockingEngine:
                 # activations, so a full (ligands x num_out) vmap blows
                 # HBM on real screens
                 nout = mdone.shape[1]
-                pb = next(p for p in range(min(8, nout), 0, -1)
-                          if nout % p == 0)
+                # pad the pose axis to a multiple of the chunk size so a
+                # prime num_out (e.g. --num_mc_saved 13) does not degrade
+                # to 1-pose sequential refinement (ADVICE r4); padded
+                # poses carry done=True, which make_refine_pose already
+                # treats as a no-op.
+                pb = min(8, nout)
+                npad = (-nout) % pb
+                ntot = nout + npad
 
                 def one_chunked(args):
                     conf_l, done_l, lig_d = args
@@ -1476,11 +1488,20 @@ class DockingEngine:
                         return jax.vmap(make_refine_pose(lig_d))(
                             c_pos, c_quat, c_tors, c_done)
 
-                    rs = lambda x: x.reshape((nout // pb, pb) + x.shape[1:])
+                    padp = lambda x: jnp.concatenate(
+                        [x, jnp.broadcast_to(x[:1], (npad,) + x.shape[1:])]
+                    ) if npad else x
+                    rs = lambda x: padp(x).reshape(
+                        (ntot // pb, pb) + x.shape[1:])
+                    done_p = (jnp.concatenate(
+                        [done_l, jnp.ones((npad,), bool)]) if npad
+                        else done_l)
                     conf2, done2 = jax.lax.map(chunk, (
                         rs(conf_l.position), rs(conf_l.orientation),
-                        rs(conf_l.torsions), rs(done_l)))
-                    unrs = lambda x: x.reshape((nout,) + x.shape[2:])
+                        rs(conf_l.torsions),
+                        done_p.reshape(ntot // pb, pb)))
+                    unrs = lambda x: x.reshape(
+                        (ntot,) + x.shape[2:])[:nout]
                     return (jax.tree_util.tree_map(unrs, conf2), unrs(done2))
 
                 return jax.lax.map(one_chunked, (mconf, mdone, lig_batch))

@@ -52,6 +52,27 @@ def pearson(x, y):
     return float((xc * yc).sum() / den) if den > 0 else 0.0
 
 
+def top1_rmsd(lig, res):
+    """Heavy-atom RMSD of the top-1 pose vs the crystal (input) coords.
+
+    These fixtures are redocking cases: the input ligand IS the crystal
+    pose, so top-1 RMSD < 2 A is the standard success criterion
+    (BASELINE.md; the reference's pose-centric tests,
+    test/gnina/test_cnn.py:25-60).  Plain per-atom RMSD like the
+    reference's model.cpp rmsd (no symmetry correction).
+    """
+    import numpy as np
+
+    from gnina_tpu.constants import IS_HYDROGEN
+
+    if not res:
+        return float("inf")
+    heavy = ~IS_HYDROGEN[np.asarray(lig.types)]
+    d = np.asarray(res[0].coords)[: lig.num_atoms][heavy] \
+        - np.asarray(lig.orig_coords)[heavy]
+    return float(np.sqrt((d * d).sum(axis=1).mean()))
+
+
 def main():
     import numpy as np
 
@@ -87,6 +108,7 @@ def main():
         fx = {"fused": {}, "xla": {}}
         for path, kw in (("fused", fused_kw), ("xla", {"fused_search": "off"})):
             means = []
+            rmsds = []
             for seed in seeds:
                 eng = DockingEngine(DockSettings(
                     cnn_scoring="none", seed=seed, num_mc_steps=steps,
@@ -96,17 +118,26 @@ def main():
                                      seed=seed)
                 el = time.time() - t0
                 bests = [rr[0].energy for rr in res if rr]
+                seed_rmsds = [top1_rmsd(lig, rr) for rr in res]
+                rmsds.extend(seed_rmsds)
                 mb = float(np.mean(bests))
                 means.append(mb)
                 vec[path].append(mb)
                 percopy[path].extend(float(b) for b in bests)
+                nsucc = sum(1 for r in seed_rmsds if r < 2.0)
                 print(f"{name} {path} seed={seed}: mean_best={mb:.3f} "
-                      f"min={min(bests):.3f} n={len(bests)} wall={el:.1f}s",
+                      f"min={min(bests):.3f} n={len(bests)} "
+                      f"rmsd<2A={nsucc}/{len(seed_rmsds)} "
+                      f"min_rmsd={min(seed_rmsds):.2f} wall={el:.1f}s",
                       flush=True)
             fx[path] = {"mean": round(float(np.mean(means)), 3),
                         "spread": round(float(np.max(means) - np.min(means)),
                                         3),
-                        "per_seed": [round(m, 3) for m in means]}
+                        "per_seed": [round(m, 3) for m in means],
+                        "rmsd_success": sum(1 for r in rmsds if r < 2.0),
+                        "rmsd_n": len(rmsds),
+                        "rmsd_min": round(min(rmsds), 3),
+                        "rmsd_median": round(float(np.median(rmsds)), 3)}
         gap = abs(fx["fused"]["mean"] - fx["xla"]["mean"])
         tol = max(fx["fused"]["spread"], fx["xla"]["spread"], 0.25)
         fx["gap"] = round(gap, 3)
@@ -122,9 +153,24 @@ def main():
     r_copy = pearson(percopy["fused"], percopy["xla"])
     out["pearson_r"] = round(r, 4)
     out["pearson_r_percopy"] = round(r_copy, 4)
-    out["ok"] = bool(r >= 0.8 and ok_fixture)
+    # pose-geometry gate (VERDICT r4 item 4): aggregate RMSD<2A success
+    # count of the fused path must be no worse than the XLA path's, with
+    # a 1-point binomial-noise margin over the (fixtures x seeds x copies)
+    # sample — a tick-budget regression that degrades geometry but not
+    # best-energy now fails the gate.
+    succ = {p: sum(out["fixtures"][n][p]["rmsd_success"]
+                   for n, *_ in FIXTURES) for p in ("fused", "xla")}
+    ntot = sum(out["fixtures"][n]["fused"]["rmsd_n"] for n, *_ in FIXTURES)
+    out["rmsd_success_fused"] = succ["fused"]
+    out["rmsd_success_xla"] = succ["xla"]
+    out["rmsd_total"] = ntot
+    geometry_ok = succ["fused"] >= succ["xla"] - 1
+    out["geometry_ok"] = bool(geometry_ok)
+    out["ok"] = bool(r >= 0.8 and ok_fixture and geometry_ok)
     print(json.dumps({k: out[k] for k in
-                      ("pearson_r", "pearson_r_percopy", "ok")}))
+                      ("pearson_r", "pearson_r_percopy",
+                       "rmsd_success_fused", "rmsd_success_xla",
+                       "rmsd_total", "geometry_ok", "ok")}))
 
     with open(os.path.join(ROOT, "QUALITY.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -25,3 +25,17 @@ def test_dryrun_multichip_8cpu():
         cwd=REPO, env=env, capture_output=True, text=True, timeout=560)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip OK" in out.stdout
+    # VERDICT r4 weak #3: assert every docking config actually executed
+    # (a wall-budget timeout now flips rc, but keep the positive signal
+    # explicit: the three per-config OK lines + the machine-readable
+    # status record with all configs ok).
+    assert "dryrun sharded docking (XLA path) OK" in out.stdout
+    assert "dryrun sharded docking (FUSED kernel in shard_map) OK" in out.stdout
+    assert "dryrun sharded docking (in-kernel MC) OK" in out.stdout
+    status_lines = [l for l in out.stdout.splitlines()
+                    if l.startswith("dryrun config status: ")]
+    assert status_lines, "missing machine-readable config status line"
+    import json
+    status = json.loads(status_lines[0].split(": ", 1)[1])
+    assert len(status) >= 3
+    assert all(c["status"] == "ok" for c in status), status
