@@ -379,6 +379,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         cnn_empirical_weight=args.cnn_empirical_weight,
         sort_order=args.pose_sort_order if args.pose_sort_order else "auto",
         outputmin_frames=max(args.outputmin, 0),
+        # docking runs reuse programs across ligand shapes / CLI reruns via
+        # coarse shape rounding + the process-global program cache
+        # (docking._PROGRAM_CACHE); score/minimize modes keep exact padding
+        canonical_shapes=not (args.score_only or args.local_only
+                              or args.minimize or args.randomize_only),
     )
     # TPU kernel tuning via env (operator knobs with measured defaults;
     # no reference-CLI equivalent exists, so they stay off the flag surface)
@@ -726,7 +731,13 @@ def _run_screen(args, engine, rec, center, size, ligands, cnn_enabled,
         def up(x, m):
             return ((x + m - 1) // m) * m
 
-        return (up(lig.num_atoms, 8), up(lig.num_nodes, 4))
+        # bucket rounding mirrors dock_batch's shape rounding: under
+        # canonical shapes the coarse (16, 8) grid merges nearby ligand
+        # shapes into ONE batch (and one compiled program) instead of one
+        # small batch + compile per exact shape — the reference's worker
+        # pool never fragments by ligand shape (main.cpp:1418-1510)
+        rn, rm = (16, 8) if engine.settings.canonical_shapes else (8, 4)
+        return (up(lig.num_atoms, rn), up(lig.num_nodes, rm))
 
     all_ligs = list(ligands)
     if not all_ligs:

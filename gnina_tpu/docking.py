@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import sys
+import threading
 from typing import List, Optional, Tuple
 
 import jax
@@ -154,6 +155,14 @@ class DockSettings:
     # --outputmin N (main.cpp:1005): write minout.sdf with N interpolated
     # frames per accepted minimization step (bfgs.h:244-310)
     outputmin_frames: int = 0
+    # Canonical shape rounding for virtual screens (VERDICT r4 item 7):
+    # pad the batch shape key coarsely (atoms to 16, nodes to 8, pairs to
+    # 128, receptor rows to 256, BFGS iters to 4) so size-sorted ligand
+    # groups and successive receptors reuse one compiled program instead
+    # of paying a multi-second trace + cache lookup per shape.  The CLI
+    # screen path turns this on; the direct dock_batch API keeps exact
+    # rounding (smallest pad = fastest single batch).
+    canonical_shapes: bool = False
 
 
 @dataclasses.dataclass
@@ -230,6 +239,30 @@ def _minimize_iters_heuristic(lig: LigandStruct, settings: DockSettings) -> int:
     return max(int((25 + lig.num_atoms) / 3), 1)
 
 
+def _sf_fingerprint(sf: ScoringFunction):
+    """Hashable identity of a scoring function for the program cache: the
+    term set, weights, and atom-parameter table fully determine the traced
+    computation (all molecule/receptor data flows through program args)."""
+    tb = sf.table
+    table_h = hash((tb.xs_radius.tobytes(), tb.ad_radius.tobytes(),
+                    tb.ad_depth.tobytes(), tb.ad_solvation.tobytes(),
+                    tb.ad_volume.tobytes(), tb.xs_hydrophobe.tobytes(),
+                    tb.xs_donor.tobytes(), tb.xs_acceptor.tobytes(),
+                    tb.ad_heteroatom.tobytes()))
+    return (sf.name, tuple(repr(t) for t in sf.pair_terms), sf.pair_weights,
+            tuple(repr(t) for t in sf.conf_terms), sf.conf_weights, table_h)
+
+
+# Process-global compiled-program cache.  The per-engine cache made every
+# CLI invocation (and every DockingEngine) re-trace + re-lower each shape
+# bucket's Mosaic kernel — seconds per program even with the persistent
+# XLA cache hitting.  Programs capture only (settings, scoring function)
+# statics; ligand/receptor/box data are runtime args, so sharing across
+# engines keyed on those statics is sound.  (VERDICT r4 items 2/7.)
+_PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE_LOCK = threading.Lock()
+
+
 class DockingEngine:
     """Builds and caches jitted docking programs per (shape bucket, box)."""
 
@@ -240,7 +273,21 @@ class DockingEngine:
         self.sf = sf if sf is not None else get_scoring_function(settings.scoring)
         self.cnn = cnn_scorer
         self.user_grid = user_grid  # ops.user_grid.UserGrid bias (--user_grid)
-        self._programs = {}  # jitted dock programs keyed by static config
+        # jitted dock programs keyed by static config; shared process-wide
+        # when nothing engine-local is captured (a user grid is baked into
+        # the energy fn via make_energy_fn, so it pins a private cache)
+        if user_grid is None:
+            ck = ("progs-v1", dataclasses.astuple(self.settings),
+                  _sf_fingerprint(self.sf))
+            with _PROGRAM_CACHE_LOCK:
+                self._programs = _PROGRAM_CACHE.setdefault(ck, {})
+        else:
+            self._programs = {}
+        # serializes program BUILDS per prog_key so two screen worker
+        # threads that land on the same canonical shape don't trace the
+        # same kernel twice (distinct keys still build concurrently)
+        self._build_locks = {}
+        self._build_locks_guard = threading.Lock()
         # optional search progress sink (the reference's parallel_progress
         # bar, parallel_progress.h); the CLI wires this at --verbosity >= 2
         self.progress = None  # Callable[[str], None] | None
@@ -741,15 +788,18 @@ class DockingEngine:
             dp = mesh.shape["dp"]
             ligs = ligs + [ligs[-1]] * ((-len(ligs)) % dp)
 
-        # common shape bucket
-        n = _round_up(max(l.num_atoms for l in ligs), 8)
-        m = _round_up(max(l.num_nodes for l in ligs), 4)
-        p = _round_up(max(max(len(l.pairs) for l in ligs), 1), 32)
+        # common shape bucket; canonical_shapes rounds coarsely so screen
+        # groups / successive receptors hit one compiled program
+        rn, rm, rp, rk = (16, 8, 128, 256) if s.canonical_shapes \
+            else (8, 4, 32, 128)
+        n = _round_up(max(l.num_atoms for l in ligs), rn)
+        m = _round_up(max(l.num_nodes for l in ligs), rm)
+        p = _round_up(max(max(len(l.pairs) for l in ligs), 1), rp)
         max_layers = _round_up(max(int(l.layer.max()) if l.num_nodes > 1 else 1
                                    for l in ligs), 4)
         pruned = rec.pruned(np.asarray(center), np.asarray(size) / 2,
                             margin=self.sf.cutoff)
-        k = _round_up(len(pruned.types), 128)
+        k = _round_up(len(pruned.types), rk)
         rec_d = pad_receptor(pruned.coords, pruned.types, pruned.charges, k)
         lo, hi = box_from_center_size(center, size)
         box = Box(lo=jnp.asarray(lo), hi=jnp.asarray(hi))
@@ -769,6 +819,11 @@ class DockingEngine:
 
         num_steps = max(_num_steps_heuristic(l, s) for l in ligs)
         miniters = max(_minimize_iters_heuristic(l, s) for l in ligs)
+        if s.canonical_shapes:
+            # miniters feeds the program key; round it up so groups with
+            # nearby atom counts share a program (a few extra BFGS iters
+            # are cheap — early termination already bounds the work)
+            miniters = _round_up(miniters, 4)
 
         fused_pack = fused_meta = fused_pack_out = fused_meta_out = None
         if self._fused_eligible(ligs):
@@ -961,43 +1016,55 @@ class DockingEngine:
             fdims = None
             prog_key = (max_layers, chunk, miniters, s.exhaustiveness,
                         num_out, mode, has_cnn, use_grid_search)
-        if cnn_obj is None and prog_key in self._programs:
-            progs = self._programs[prog_key]
-        else:
-            fused = fused_out = fused_mc = None
-            if use_fused:
-                fused = pdk.FusedBfgs(self.sf, fused_pack, maxiters=miniters,
-                                      want_metro=True, n_iter=n_hvy,
-                                      done_frac=s.fused_done_frac, shards=dp,
-                                      num_trials=s.fused_ls_trials,
-                                      ls_factor=s.fused_ls_factor,
-                                      async_ls=s.fused_async_ls)
-                fused_out = pdk.FusedBfgs(self.sf, fused_pack_out,
-                                          maxiters=miniters,
-                                          want_metro=False, n_iter=n_hvy,
-                                          done_frac=s.fused_done_frac,
-                                          shards=dp,
-                                          num_trials=s.fused_ls_trials,
-                                          ls_factor=s.fused_ls_factor,
-                                          async_ls=s.fused_async_ls)
-                if s.fused_mc_in_kernel:
-                    # mcs: the guarded window length computed with prog_key
-                    fused_mc = pdk.FusedBfgs(
+        if mesh is not None:
+            # shard_map closes over the Mesh; key on its device layout so
+            # a cached program is only reused for an equivalent mesh
+            prog_key = prog_key + (tuple(d.id for d in mesh.devices.flat),
+                                   mesh.axis_names)
+        # serialize same-key builds (two screen workers on one canonical
+        # shape) without serializing distinct-key compiles
+        with self._build_locks_guard:
+            build_lock = self._build_locks.setdefault(prog_key,
+                                                      threading.Lock())
+        with build_lock:
+            if cnn_obj is None and prog_key in self._programs:
+                progs = self._programs[prog_key]
+            else:
+                fused = fused_out = fused_mc = None
+                if use_fused:
+                    fused = pdk.FusedBfgs(
                         self.sf, fused_pack, maxiters=miniters,
                         want_metro=True, n_iter=n_hvy,
-                        done_frac=s.fused_done_frac, mc_steps=mcs, shards=dp,
+                        done_frac=s.fused_done_frac, shards=dp,
                         num_trials=s.fused_ls_trials,
                         ls_factor=s.fused_ls_factor,
-                        async_ls=s.fused_async_ls,
-                        async_mc=s.fused_async_mc,
-                        tick_budget=tick_budget)
-            progs = self._build_dock_program(
-                max_layers, chunk, miniters, num_out, cnn_obj,
-                use_cnn_metro, use_cnn_refine, use_cnn_search,
-                use_grid_search, fused=fused, fused_out=fused_out,
-                fused_mc=fused_mc, mesh=mesh)
-            if cnn_obj is None:
-                self._programs[prog_key] = progs
+                        async_ls=s.fused_async_ls)
+                    fused_out = pdk.FusedBfgs(
+                        self.sf, fused_pack_out, maxiters=miniters,
+                        want_metro=False, n_iter=n_hvy,
+                        done_frac=s.fused_done_frac, shards=dp,
+                        num_trials=s.fused_ls_trials,
+                        ls_factor=s.fused_ls_factor,
+                        async_ls=s.fused_async_ls)
+                    if s.fused_mc_in_kernel:
+                        # mcs: the guarded window length from prog_key
+                        fused_mc = pdk.FusedBfgs(
+                            self.sf, fused_pack, maxiters=miniters,
+                            want_metro=True, n_iter=n_hvy,
+                            done_frac=s.fused_done_frac, mc_steps=mcs,
+                            shards=dp,
+                            num_trials=s.fused_ls_trials,
+                            ls_factor=s.fused_ls_factor,
+                            async_ls=s.fused_async_ls,
+                            async_mc=s.fused_async_mc,
+                            tick_budget=tick_budget)
+                progs = self._build_dock_program(
+                    max_layers, chunk, miniters, num_out, cnn_obj,
+                    use_cnn_metro, use_cnn_refine, use_cnn_search,
+                    use_grid_search, fused=fused, fused_out=fused_out,
+                    fused_mc=fused_mc, mesh=mesh)
+                if cnn_obj is None:
+                    self._programs[prog_key] = progs
 
         init_fn, chunk_fn, finish_fn = progs
         base = jax.random.PRNGKey(seed if seed is not None else s.seed)
@@ -1116,16 +1183,28 @@ class DockingEngine:
             ci_in, inters.astype(np.float32)))      # (L, num_out)
         _tick("fetch")
 
-        # batched CNN rescoring across all ligands' valid poses
+        # batched CNN rescoring: ONE ensemble forward covers every valid
+        # pose of every ligand in the batch (per-pose lig typing in the
+        # scorer program) — the per-ligand score_poses loop paid a device
+        # dispatch + ~1 s of tunnel transfers per ligand
+        valid_by_lig = [[i for i in range(num_out) if inters[li, i] < MAX_FL]
+                        for li in range(len(ligs))]
+        multi_scores = None
+        if has_cnn:
+            items = [(lig, np.stack([coords[li, i][:lig.num_atoms]
+                                     for i in valid_ids]))
+                     for li, (lig, valid_ids)
+                     in enumerate(zip(ligs, valid_by_lig)) if valid_ids]
+            if items:
+                packed = self.cnn.score_poses_multi(rec, items)
+                multi_scores = iter(packed)
         all_results: List[List[PoseResult]] = []
         for li, lig in enumerate(ligs):
             t = lig.num_torsions
-            valid_ids = [i for i in range(num_out) if inters[li, i] < MAX_FL]
+            valid_ids = valid_by_lig[li]
             cnn_scores = {}
             if valid_ids and has_cnn:
-                batch = np.stack([coords[li, i][:lig.num_atoms]
-                                  for i in valid_ids])
-                sc, aff, _loss, var = self.cnn.score_poses(rec, lig, batch)
+                sc, aff, _loss, var = next(multi_scores)
                 cnn_scores = {i: (float(sc[j]), float(aff[j]), float(var[j]))
                               for j, i in enumerate(valid_ids)}
             results: List[PoseResult] = []

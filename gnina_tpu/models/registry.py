@@ -151,14 +151,21 @@ def load_model_from_file(path: str) -> CNNModel:
     return _load_converted(tag, spec_path)
 
 
+_MODEL_CACHE = {}
+
+
 def load_model(name: str) -> CNNModel:
     if name.endswith(".pt") and os.path.exists(name):
         return load_model_from_file(name)
     name = name.replace(".", "_")
+    if name in _MODEL_CACHE:
+        return _MODEL_CACHE[name]
     spec_path = _find_converted(name)
     if spec_path is None:
         spec_path = _convert(name)
-    return _load_converted(name, spec_path)
+    m = _load_converted(name, spec_path)
+    _MODEL_CACHE[name] = m
+    return m
 
 
 def _load_converted(name: str, spec_path: str) -> CNNModel:

@@ -29,6 +29,10 @@ from gnina_tpu.ops.voxelize import voxelize
 from gnina_tpu.ops.quat import quaternion_to_matrix, random_orientation
 
 
+# process-global compiled ensemble programs (see _get_program)
+_PROGRAM_CACHE = {}
+
+
 def _pose_from_outputs(model: CNNModel, outputs):
     out0 = outputs[0]  # (B,2): log-probs for standard models
     if model.skip_softmax:
@@ -91,39 +95,77 @@ class CNNScorer:
         coords_batch = np.asarray(coords_batch, np.float32)
         if coords_batch.ndim == 2:
             coords_batch = coords_batch[None]
-        b, n_atoms = coords_batch.shape[0], coords_batch.shape[1]
+        return self.score_poses_multi(rec, [(lig, coords_batch)])[0]
 
-        # grid center per pose: mean over all ligand atoms (libmolgrid
-        # CoordinateSet::center with hydrogens included)
-        if self.fixed_center is not None:
-            centers = np.tile(np.asarray(self.fixed_center, np.float32), (b, 1))
-        else:
-            centers = coords_batch.mean(axis=1)
+    def score_poses_multi(self, rec: Receptor, items):
+        """Score poses of SEVERAL (possibly different) ligands in ONE
+        compiled ensemble forward.
 
-        # shape bucketing: pad (poses, atoms) so a heterogeneous screen does
-        # NOT recompile the ensemble forward per ligand shape (VERDICT
-        # round-1 weak #3): b -> next power of two, n -> multiple of 8
+        items: list of (LigandStruct, (Bi, Ni, 3) pose coords).  Ligand
+        atom types are per-pose runtime data in the program, so a whole
+        screen batch's rescore is a single device dispatch instead of one
+        per ligand (the reference scores poses one at a time —
+        cnn_torch_scorer.cpp:105-198; batching across ligands AND poses is
+        the TPU redesign).  Returns a list of (score, affinity, loss,
+        variance) per item.
+        """
+        sizes = [np.asarray(c).shape[0] for _l, c in items]
+        n_atoms_max = max(np.asarray(c).shape[1] for _l, c in items)
+        np_pad = ((n_atoms_max + 7) // 8) * 8
+        b = sum(sizes)
+        coords_p = np.zeros((b, np_pad, 3), np.float32)
+        types_p = np.zeros((b, np_pad), np.int32)
+        mask_p = np.zeros((b, np_pad), bool)
+        centers = np.zeros((b, 3), np.float32)
+        off = 0
+        for (lig, cb), bi in zip(items, sizes):
+            cb = np.asarray(cb, np.float32)
+            ni = cb.shape[1]
+            coords_p[off:off + bi, :ni] = cb
+            types_p[off:off + bi, :ni] = lig.types[:ni]
+            mask_p[off:off + bi, :ni] = True
+            if self.fixed_center is not None:
+                centers[off:off + bi] = np.asarray(self.fixed_center,
+                                                   np.float32)
+            else:
+                # grid center per pose: mean over all ligand atoms
+                # (libmolgrid CoordinateSet::center, hydrogens included)
+                centers[off:off + bi] = cb.mean(axis=1)
+            off += bi
+
+        # shape bucketing: pad the pose axis so a heterogeneous screen
+        # does NOT recompile the ensemble forward per ligand shape
+        # (VERDICT round-1 weak #3): b -> next power of two, n -> x8
         bp = 1 << (b - 1).bit_length()
-        np_pad = ((n_atoms + 7) // 8) * 8
-        lig_mask = np.zeros(np_pad, bool)
-        lig_mask[:n_atoms] = True
-        coords_p = np.zeros((bp, np_pad, 3), np.float32)
-        coords_p[:b, :n_atoms] = coords_batch
-        coords_p[b:, :n_atoms] = coords_batch[-1]  # repeat last pose
-        types_p = np.zeros(np_pad, np.int32)
-        types_p[:n_atoms] = lig.types
-        centers_p = np.concatenate(
-            [centers, np.tile(centers[-1:], (bp - b, 1))]).astype(np.float32)
+        if bp > b:
+            coords_p = np.concatenate(
+                [coords_p, np.tile(coords_p[-1:], (bp - b, 1, 1))])
+            types_p = np.concatenate(
+                [types_p, np.tile(types_p[-1:], (bp - b, 1))])
+            mask_p = np.concatenate(
+                [mask_p, np.tile(mask_p[-1:], (bp - b, 1))])
+            centers = np.concatenate(
+                [centers, np.tile(centers[-1:], (bp - b, 1))])
 
-        rec_coords, rec_types, rec_mask = self._receptor_arrays(rec, centers)
+        rec_coords, rec_types, rec_mask = self._receptor_arrays(
+            rec, centers[:b])
         fn = self._get_program(bp, np_pad, rec_coords.shape[0])
         score, affinity, loss, variance = fn(
             jnp.asarray(rec_coords), jnp.asarray(rec_types),
             jnp.asarray(rec_mask), jnp.asarray(coords_p),
-            jnp.asarray(types_p), jnp.asarray(lig_mask),
-            jnp.asarray(centers_p), jax.random.PRNGKey(self.seed))
-        return (np.asarray(score)[:b], np.asarray(affinity)[:b],
-                np.asarray(loss)[:b], np.asarray(variance)[:b])
+            jnp.asarray(types_p), jnp.asarray(mask_p),
+            jnp.asarray(centers), jax.random.PRNGKey(self.seed))
+        score = np.asarray(score)
+        affinity = np.asarray(affinity)
+        loss = np.asarray(loss)
+        variance = np.asarray(variance)
+        out = []
+        off = 0
+        for bi in sizes:
+            out.append((score[off:off + bi], affinity[off:off + bi],
+                        loss[off:off + bi], variance[off:off + bi]))
+            off += bi
+        return out
 
     def score_pose(self, rec: Receptor, lig: LigandStruct, coords: np.ndarray
                    ) -> Tuple[float, float, float]:
@@ -267,10 +309,18 @@ class CNNScorer:
     # -- compiled program -------------------------------------------------------
 
     def _get_program(self, b: int, n: int, k: int):
-        key = (b, n, k)
-        if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(self._build_program())
-        return self._jit_cache[key]
+        # process-global: load_model caches checkpoints by name, so two
+        # scorers over the same ensemble capture THE SAME model objects —
+        # a CLI rerun or second engine skips the multi-minute ensemble
+        # re-trace.  Keyed on object identity, not name: a file-loaded
+        # model (not registry-cached) must never collide with a same-named
+        # different checkpoint, and the jitted closure keeps its models
+        # alive so ids cannot be recycled while the entry exists.
+        key = (tuple(id(m) for m in self.models), self.rotations, b, n, k)
+        if key not in _PROGRAM_CACHE:
+            _PROGRAM_CACHE[key] = jax.jit(self._build_program())
+        self._jit_cache = _PROGRAM_CACHE  # back-compat alias
+        return _PROGRAM_CACHE[key]
 
     def _build_program(self):
         models = self.models
@@ -284,8 +334,8 @@ class CNNScorer:
                     tuple(m.rec_typer.table), tuple(m.lig_typer.table))
             groups.setdefault(gkey, []).append(mi)
 
-        def program(rec_coords, rec_types, rec_mask, lig_coords_b, lig_types,
-                    lig_mask, centers, rng):
+        def program(rec_coords, rec_types, rec_mask, lig_coords_b,
+                    lig_types_b, lig_mask_b, centers, rng):
             b = lig_coords_b.shape[0]
             scores = []
             affinities = []
@@ -297,20 +347,23 @@ class CNNScorer:
                 m0 = models[model_ids[0]]
                 nrec = m0.rec_typer.num_channels
                 rec_chan = jnp.asarray(m0.rec_typer.table)[rec_types]
-                lig_chan_raw = jnp.asarray(m0.lig_typer.table)[lig_types]
-                lig_chan = jnp.where(lig_chan_raw >= 0, lig_chan_raw + nrec, -1)
                 rec_radii = jnp.asarray(m0.rec_typer.radii)[rec_types]
-                lig_radii = jnp.asarray(m0.lig_typer.radii)[lig_types]
+                lig_table = jnp.asarray(m0.lig_typer.table)
+                lig_rad_table = jnp.asarray(m0.lig_typer.radii)
                 nchan = m0.num_channels
                 npts = m0.grid_points
 
-                channels = jnp.concatenate([rec_chan, jnp.broadcast_to(
-                    lig_chan, lig_chan.shape)])
-                radii = jnp.concatenate([rec_radii, lig_radii])
-                mask = jnp.concatenate([rec_mask, lig_mask])
-
                 for r in range(rotations):
-                    def one_pose(lig_xyz, center, rkey):
+                    def one_pose(lig_xyz, lig_ty, lig_mk, center, rkey):
+                        # per-pose ligand typing: one program serves a
+                        # whole mixed-ligand screen batch
+                        lig_chan_raw = lig_table[lig_ty]
+                        lig_chan = jnp.where(lig_chan_raw >= 0,
+                                             lig_chan_raw + nrec, -1)
+                        channels = jnp.concatenate([rec_chan, lig_chan])
+                        radii = jnp.concatenate(
+                            [rec_radii, lig_rad_table[lig_ty]])
+                        mask = jnp.concatenate([rec_mask, lig_mk])
                         rec_xyz = rec_coords
                         if r > 0:
                             q = random_orientation(rkey)
@@ -324,7 +377,8 @@ class CNNScorer:
                                         radius_scale=m0.radius_scale)
 
                     pose_keys = jax.random.split(rot_keys[r], b)
-                    grids = jax.vmap(one_pose)(lig_coords_b, centers, pose_keys)
+                    grids = jax.vmap(one_pose)(lig_coords_b, lig_types_b,
+                                               lig_mask_b, centers, pose_keys)
 
                     for mi in model_ids:
                         m = models[mi]
