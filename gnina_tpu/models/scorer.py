@@ -15,6 +15,7 @@ TPU-native design differences:
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -25,12 +26,18 @@ from gnina_tpu.chem.ingest import Receptor
 from gnina_tpu.chem.tree_build import LigandStruct
 from gnina_tpu.models import runtime
 from gnina_tpu.models.registry import CNNModel, expand_model_names, load_model
-from gnina_tpu.ops.voxelize import voxelize
+from gnina_tpu.ops.voxelize import (slab_window_size, voxelize,
+                                    voxelize_windowed)
 from gnina_tpu.ops.quat import quaternion_to_matrix, random_orientation
 
 
 # process-global compiled ensemble programs (see _get_program)
 _PROGRAM_CACHE = {}
+
+# pose-axis chunk cap for the batched rescore (see score_poses_multi);
+# 256 poses x ~30 MB of fused voxelizer intermediate fits v5e HBM with
+# ample headroom where 1024 did not
+_MAX_POSE_BATCH = int(os.environ.get("GNINA_TPU_CNN_POSE_BATCH", "256"))
 
 
 def _pose_from_outputs(model: CNNModel, outputs):
@@ -135,30 +142,57 @@ class CNNScorer:
 
         # shape bucketing: pad the pose axis so a heterogeneous screen
         # does NOT recompile the ensemble forward per ligand shape
-        # (VERDICT round-1 weak #3): b -> next power of two, n -> x8
-        bp = 1 << (b - 1).bit_length()
-        if bp > b:
+        # (VERDICT round-1 weak #3): b -> next power of two, n -> x8.
+        # The pose axis is CHUNKED at _MAX_POSE_BATCH: the voxelizer's
+        # fused (poses, grid-slab, atoms) intermediate is ~30 MB/pose on a
+        # 10gs-size pocket, so a whole screen batch's poses in one forward
+        # (e.g. 16 ligands x 50 saved = 800 -> bp 1024) exceeds v5e HBM;
+        # fixed-size chunks keep ONE compiled program and bounded memory.
+        cap = _MAX_POSE_BATCH
+        bp = min(1 << (b - 1).bit_length(), cap)
+        pad_to = -b % bp
+        if pad_to:
             coords_p = np.concatenate(
-                [coords_p, np.tile(coords_p[-1:], (bp - b, 1, 1))])
+                [coords_p, np.tile(coords_p[-1:], (pad_to, 1, 1))])
             types_p = np.concatenate(
-                [types_p, np.tile(types_p[-1:], (bp - b, 1))])
+                [types_p, np.tile(types_p[-1:], (pad_to, 1))])
             mask_p = np.concatenate(
-                [mask_p, np.tile(mask_p[-1:], (bp - b, 1))])
+                [mask_p, np.tile(mask_p[-1:], (pad_to, 1))])
             centers = np.concatenate(
-                [centers, np.tile(centers[-1:], (bp - b, 1))])
+                [centers, np.tile(centers[-1:], (pad_to, 1))])
 
         rec_coords, rec_types, rec_mask = self._receptor_arrays(
             rec, centers[:b])
-        fn = self._get_program(bp, np_pad, rec_coords.shape[0])
-        score, affinity, loss, variance = fn(
-            jnp.asarray(rec_coords), jnp.asarray(rec_types),
-            jnp.asarray(rec_mask), jnp.asarray(coords_p),
-            jnp.asarray(types_p), jnp.asarray(mask_p),
-            jnp.asarray(centers), jax.random.PRNGKey(self.seed))
-        score = np.asarray(score)
-        affinity = np.asarray(affinity)
-        loss = np.asarray(loss)
-        variance = np.asarray(variance)
+        # sort receptor rows by x and push masked padding to the far end:
+        # the program voxelizes the receptor through a per-slab atom
+        # window (ops/voxelize.voxelize_windowed), which needs sorted x
+        # and a static window width (host-computed here)
+        sort_x = np.where(rec_mask, rec_coords[:, 0], np.float32(1e9))
+        order = np.argsort(sort_x, kind="stable")
+        rec_coords = rec_coords[order]
+        rec_types = rec_types[order]
+        rec_mask = rec_mask[order]
+        max_reach = max(
+            1.5 * float(np.max(m.rec_typer.radii)) * m.radius_scale
+            + m.resolution for m in self.models)
+        win = slab_window_size(np.where(rec_mask, rec_coords[:, 0], 1e9),
+                               max_reach)
+        fn = self._get_program(bp, np_pad, rec_coords.shape[0], win)
+        outs = []
+        rec_c = jnp.asarray(rec_coords)
+        rec_t = jnp.asarray(rec_types)
+        rec_m = jnp.asarray(rec_mask)
+        key = jax.random.PRNGKey(self.seed)
+        for c0 in range(0, b + pad_to, bp):
+            outs.append(fn(rec_c, rec_t, rec_m,
+                           jnp.asarray(coords_p[c0:c0 + bp]),
+                           jnp.asarray(types_p[c0:c0 + bp]),
+                           jnp.asarray(mask_p[c0:c0 + bp]),
+                           jnp.asarray(centers[c0:c0 + bp]), key))
+        score = np.concatenate([np.asarray(o[0]) for o in outs])
+        affinity = np.concatenate([np.asarray(o[1]) for o in outs])
+        loss = np.concatenate([np.asarray(o[2]) for o in outs])
+        variance = np.concatenate([np.asarray(o[3]) for o in outs])
         out = []
         off = 0
         for bi in sizes:
@@ -308,7 +342,7 @@ class CNNScorer:
 
     # -- compiled program -------------------------------------------------------
 
-    def _get_program(self, b: int, n: int, k: int):
+    def _get_program(self, b: int, n: int, k: int, win: int = 0):
         # process-global: load_model caches checkpoints by name, so two
         # scorers over the same ensemble capture THE SAME model objects —
         # a CLI rerun or second engine skips the multi-minute ensemble
@@ -316,13 +350,14 @@ class CNNScorer:
         # model (not registry-cached) must never collide with a same-named
         # different checkpoint, and the jitted closure keeps its models
         # alive so ids cannot be recycled while the entry exists.
-        key = (tuple(id(m) for m in self.models), self.rotations, b, n, k)
+        key = (tuple(id(m) for m in self.models), self.rotations, b, n, k,
+               win)
         if key not in _PROGRAM_CACHE:
-            _PROGRAM_CACHE[key] = jax.jit(self._build_program())
+            _PROGRAM_CACHE[key] = jax.jit(self._build_program(win))
         self._jit_cache = _PROGRAM_CACHE  # back-compat alias
         return _PROGRAM_CACHE[key]
 
-    def _build_program(self):
+    def _build_program(self, win: int = 0):
         models = self.models
         rotations = self.rotations
 
@@ -376,9 +411,41 @@ class CNNScorer:
                                         resolution=m0.resolution,
                                         radius_scale=m0.radius_scale)
 
-                    pose_keys = jax.random.split(rot_keys[r], b)
-                    grids = jax.vmap(one_pose)(lig_coords_b, lig_types_b,
-                                               lig_mask_b, centers, pose_keys)
+                    if win and r == 0:
+                        # split rec/lig voxelization (exact: Gaussian
+                        # densities are additive and the rec/lig channel
+                        # ranges are disjoint).  The receptor — ~98% of
+                        # the atoms — goes through the x-sorted per-slab
+                        # window, cutting the voxelizer's HBM-bound
+                        # (n^2, A) intermediate ~5x; the handful of
+                        # ligand atoms take the plain path.
+                        def rec_grid(center):
+                            return voxelize_windowed(
+                                rec_coords, rec_chan, rec_radii, rec_mask,
+                                center, num_channels=nchan, window=win,
+                                npoints=npts, resolution=m0.resolution,
+                                radius_scale=m0.radius_scale)
+
+                        def lig_grid(lig_xyz, lig_ty, lig_mk, center):
+                            lig_chan_raw = lig_table[lig_ty]
+                            lig_chan = jnp.where(lig_chan_raw >= 0,
+                                                 lig_chan_raw + nrec, -1)
+                            return voxelize(
+                                lig_xyz, lig_chan, lig_rad_table[lig_ty],
+                                lig_mk, center, num_channels=nchan,
+                                npoints=npts, resolution=m0.resolution,
+                                radius_scale=m0.radius_scale)
+
+                        grids = (jax.vmap(rec_grid)(centers)
+                                 + jax.vmap(lig_grid)(lig_coords_b,
+                                                      lig_types_b,
+                                                      lig_mask_b, centers))
+                    else:
+                        pose_keys = jax.random.split(rot_keys[r], b)
+                        grids = jax.vmap(one_pose)(lig_coords_b,
+                                                   lig_types_b,
+                                                   lig_mask_b, centers,
+                                                   pose_keys)
 
                     for mi in model_ids:
                         m = models[mi]

@@ -102,3 +102,77 @@ def voxelize_batch(coords, channels, radii, mask, centers, num_channels: int,
                            npoints=npoints, resolution=resolution,
                            radius_scale=radius_scale, precision=precision)
     return jax.vmap(fn)(coords, channels, radii, mask, centers)
+
+
+def slab_window_size(x_sorted: np.ndarray, max_reach: float,
+                     pad_to: int = 128) -> int:
+    """Static per-slab atom-window width for voxelize_windowed.
+
+    Largest number of atoms whose x lies in ANY closed interval of width
+    2*max_reach over the given sorted x coordinates (computed host-side;
+    the result is a static program dimension).  Padded up so nearby
+    receptors share compiled programs.
+    """
+    x = np.asarray(x_sorted, np.float64)
+    n = len(x)
+    if n == 0:
+        return pad_to
+    hi = np.searchsorted(x, x + 2.0 * max_reach, side="right")
+    w = int((hi - np.arange(n)).max())
+    return min(((w + pad_to - 1) // pad_to) * pad_to, n)
+
+
+def voxelize_windowed(coords, channels, radii, mask, center,
+                      num_channels: int, window: int, npoints: int = 48,
+                      resolution: float = 0.5, radius_scale: float = 1.0,
+                      precision=None):
+    """Exact voxelize for atom sets PRE-SORTED along x, visiting only a
+    `window`-wide slice of atoms per x-slab.
+
+    An atom's density support is a ball of radius 1.5*r*scale
+    (density_at), so a slab at x only sees atoms with |ax - x| inside
+    that reach; for a pocket-sized receptor that is ~4-6x fewer atoms
+    than the full set, which directly divides the voxelizer's dominant
+    cost — the HBM round trip of the (n^2, A) density intermediate
+    between its two matmuls.  `window` must come from slab_window_size
+    (an under-sized window would silently DROP atoms).  Results are
+    bit-identical to voxelize up to f32 summation order.
+    """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    a = coords.shape[0]
+    window = min(window, a)
+    r = radii * radius_scale
+    valid = jnp.logical_and(mask, channels >= 0)
+    onehot = jax.nn.one_hot(jnp.where(valid, channels, num_channels),
+                            num_channels + 1,
+                            dtype=jnp.float32)[:, :num_channels]
+
+    xs = grid_points_1d(center[0], npoints, resolution)
+    ys = grid_points_1d(center[1], npoints, resolution)
+    zs = grid_points_1d(center[2], npoints, resolution)
+    yz = jnp.stack(jnp.meshgrid(ys, zs, indexing="ij"), axis=-1).reshape(-1, 2)
+
+    ax = coords[:, 0]
+    # conservative reach: padding rows carry radius 0 -> reach 0, real
+    # rows bound by the max; +resolution guards the searchsorted edge
+    reach = 1.5 * jnp.max(r) + resolution
+
+    def slab(x):
+        start = jnp.searchsorted(ax, x - reach, side="left")
+        start = jnp.minimum(start, a - window)
+        cw = jax.lax.dynamic_slice(coords, (start, 0), (window, 3))
+        rw = jax.lax.dynamic_slice(r, (start,), (window,))
+        ow = jax.lax.dynamic_slice(onehot, (start, 0),
+                                   (window, num_channels))
+        pts = jnp.concatenate(
+            [jnp.full((yz.shape[0], 1), x), yz], axis=1)  # (n^2,3)
+        d2 = (jnp.sum(pts * pts, axis=1)[:, None]
+              + jnp.sum(cw * cw, axis=1)[None, :]
+              - 2.0 * jnp.matmul(pts, cw.T, precision=precision))
+        dens = density_at(jnp.maximum(d2, 0.0), rw[None, :])
+        out = jnp.matmul(dens, ow, precision=precision)  # (n^2, C)
+        return out.reshape(npoints, npoints, num_channels)
+
+    grid = jax.lax.map(slab, xs)  # (n, n, n, C)
+    return jnp.transpose(grid, (3, 0, 1, 2))

@@ -79,14 +79,24 @@ def probe_vox(batch=64):
         c, jnp.asarray(chans), jnp.asarray(radii), jnp.asarray(mask), ctr,
         num_channels=m.num_channels, npoints=m.grid_points,
         resolution=m.resolution, radius_scale=m.radius_scale)))
+    # reduce on-device and fetch ONE scalar: through the axon tunnel,
+    # block_until_ready on a never-fetched output can return before the
+    # remote execution drains, under-reporting wall by orders of magnitude.
+    # reps are chained INSIDE one jit (input perturbed per iteration so XLA
+    # cannot CSE them away) so the ~0.25 s tunnel round trip is paid once.
+    reps = 10
+
+    def repeated(a, c):
+        def body(i, acc):
+            return acc + fn(a + 1e-4 * i, c).sum()
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    red = jax.jit(repeated)
     x = jnp.asarray(allc_b); ctr = jnp.asarray(centers)
-    t0 = time.time(); g = fn(x, ctr); g.block_until_ready()
+    t0 = time.time(); float(red(x, ctr))
     compile_s = time.time() - t0
     t0 = time.time()
-    reps = 5
-    for _ in range(reps):
-        g = fn(x, ctr)
-    g.block_until_ready()
+    float(red(x, ctr))
     el = (time.time() - t0) / reps
     print(f"VOX: batch={batch} A={A} ch={m.num_channels} n={m.grid_points} "
           f"compile={compile_s:.1f}s run={el*1e3:.1f}ms "
@@ -139,6 +149,85 @@ def probe_dock(batch=16, steps=1024):
     return batch / el
 
 
+def probe_conv(poses=128):
+    """Ensemble conv3d forward alone (no voxelization) on random grids."""
+    import jax
+    import jax.numpy as jnp
+    from gnina_tpu.models import runtime
+    from gnina_tpu.models.registry import load_model
+
+    names = ["dense_1_3", "dense_1_3_PT_KD_3", "crossdock_default2018_KD_4"]
+    models = [load_model(n) for n in names]
+    rng = np.random.RandomState(0)
+    g = jnp.asarray(rng.rand(poses, models[0].num_channels,
+                             models[0].grid_points, models[0].grid_points,
+                             models[0].grid_points).astype(np.float32))
+
+    @jax.jit
+    def fwd(grids):
+        tot = 0.0
+        for m in models:
+            outs = runtime.execute(m.spec, m.params, grids)
+            tot = tot + sum(jnp.sum(o) for o in outs)
+        return tot
+
+    t0 = time.time(); float(fwd(g)); compile_s = time.time() - t0
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        float(fwd(g))
+    el = (time.time() - t0) / reps
+    print(f"CONV: poses={poses} models=3 compile={compile_s:.1f}s "
+          f"run={el*1e3:.0f}ms -> {poses/el:.1f} poses/s")
+    return poses / el
+
+
+def probe_voxw(batch=128):
+    """Windowed receptor voxelization alone at the rescore shape."""
+    import jax
+    import jax.numpy as jnp
+    from gnina_tpu.models.registry import load_model
+    from gnina_tpu.ops.voxelize import slab_window_size, voxelize_windowed
+
+    rec, lig, center, size = fixture()
+    m = load_model("dense_1_3")
+    rc = rec.coords
+    margin = m.dimension / 2 + 4.0
+    keep = np.all((rc >= center - margin) & (rc <= center + margin), axis=1)
+    rc = rc[keep]; rt = rec.types[keep]
+    k = max(((len(rt) + 255) // 256) * 256, 256)
+    pad = k - len(rt)
+    mask = np.pad(np.ones(k - pad, bool), (0, pad))
+    rc = np.pad(rc, ((0, pad), (0, 0))).astype(np.float32)
+    rt = np.pad(rt, (0, pad))
+    sx = np.where(mask, rc[:, 0], np.float32(1e9))
+    order = np.argsort(sx, kind="stable")
+    rc, rt, mask = rc[order], rt[order], mask[order]
+    chan = np.asarray(m.rec_typer.table)[rt]
+    radii = np.asarray(m.rec_typer.radii)[rt]
+    reach = 1.5 * float(np.max(m.rec_typer.radii)) * m.radius_scale + \
+        m.resolution
+    win = slab_window_size(np.where(mask, rc[:, 0], 1e9), reach)
+    centers = np.tile(np.asarray(center, np.float32), (batch, 1))
+    centers += np.random.RandomState(0).randn(batch, 3).astype(np.float32)
+
+    fn = jax.jit(lambda ctrs: jax.vmap(lambda c: voxelize_windowed(
+        jnp.asarray(rc), jnp.asarray(chan), jnp.asarray(radii),
+        jnp.asarray(mask), c, num_channels=m.num_channels, window=win,
+        npoints=m.grid_points, resolution=m.resolution,
+        radius_scale=m.radius_scale))(ctrs).sum())
+    c = jnp.asarray(centers)
+    t0 = time.time(); float(fn(c)); compile_s = time.time() - t0
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        float(fn(c))
+    el = (time.time() - t0) / reps
+    print(f"VOXW: batch={batch} k={k} win={win} compile={compile_s:.1f}s "
+          f"run={el*1e3:.0f}ms -> {batch/el:.1f} grids/s")
+    return batch / el
+
+
 def run_all():
     """All three probes -> one record for bench.py's cnn_paths detail."""
     vox = probe_vox()
@@ -163,6 +252,10 @@ if __name__ == "__main__":
     else:
         if what == "vox":
             probe_vox()
+        if what == "voxw":
+            probe_voxw()
+        if what == "conv":
+            probe_conv()
         if what == "rescore":
             probe_rescore()
         if what == "dock":

@@ -116,9 +116,13 @@ def test_separate_example_grid(tmp_path):
     recmap = np.fromfile(f"{out}.25.14.binmap", np.float32)
     ligmap = np.fromfile(f"{out}_0.25.14.binmap", np.float32)
     assert recmap.shape == ligmap.shape == (14 * 25 ** 3,)
-    # A.xyz is a single (metal) atom at the origin-ish; the usergrid center
-    # is offset, so the grid center value must NOT be the atom peak
-    # (gridsepnotcenter check): just require both grids non-empty and equal
-    # up to typer differences
     assert recmap.max() > 0
-    assert ligmap.max() > 0
+    # gridsepcmp (CMakeLists.txt:37): the SAME molecule through the
+    # receptor path and the ligand path must voxelize identically — this
+    # is the reference's own --separate receptor-typing parity assert
+    assert np.abs(recmap - ligmap).max() < TOL
+    # gridsepnotcenter (CMakeLists.txt:38): the value at byte offset 31248
+    # (the A atom density sampled off-center in the usergrid frame) is
+    # below the 0.5 peak — the example grid frame, not the ligand, must
+    # position the box
+    assert recmap[31248 // 4] < 0.5

@@ -31,6 +31,29 @@ def test_gninatypes_roundtrip(lig, tmp_path):
     assert np.array_equal(types, lig.types[heavy])
 
 
+def test_gninatypes_byte_layout(lig, tmp_path):
+    """The .gninatypes byte layout IS the reference's atom_info struct
+    written raw: little-endian float32 x,y,z + int32 smina type, 16
+    bytes/atom, heavy atoms only, file order (gninatyper.cpp:30-35 struct,
+    :73/:103/:151 out.write loops).  Pack the expectation independently and require
+    byte equality — this is the interop contract for files produced by
+    the reference's gninatyper."""
+    import struct
+
+    from gnina_tpu.constants import IS_HYDROGEN
+
+    path = str(tmp_path / "lig.gninatypes")
+    gninatyper.write_gninatypes(lig, path)
+    expected = b"".join(
+        struct.pack("<fffi", *(float(v) for v in lig.orig_coords[i]),
+                    int(lig.types[i]))
+        for i in range(lig.num_atoms) if not IS_HYDROGEN[lig.types[i]])
+    with open(path, "rb") as f:
+        got = f.read()
+    assert got == expected
+    assert len(got) % 16 == 0
+
+
 def test_molcache_roundtrip(lig, tmp_path):
     path = str(tmp_path / "x.molcache")
     molcache.save_ligands(path, [lig, lig])

@@ -106,3 +106,36 @@ def test_default_typer_channels():
     # chlorine shares the halogen channel in recmap but not ligmap
     assert rt.table[SminaType.Chlorine] == rt.table[SminaType.Bromine]
     assert lt.table[SminaType.Chlorine] != lt.table[SminaType.Bromine]
+
+
+def test_windowed_matches_full():
+    """voxelize_windowed is EXACT vs voxelize given x-sorted atoms and a
+    slab_window_size width (atoms beyond 1.5*r of a slab contribute 0)."""
+    from gnina_tpu.ops.voxelize import slab_window_size, voxelize_windowed
+
+    rng = np.random.RandomState(7)
+    a = 64
+    coords = (rng.rand(a, 3).astype(np.float32) - 0.5) * 24.0
+    channels = rng.randint(0, 4, a).astype(np.int32)
+    radii = (1.2 + rng.rand(a).astype(np.float32))
+    mask = rng.rand(a) > 0.2
+    # masked rows pushed to far x like the scorer does
+    sx = np.where(mask, coords[:, 0], np.float32(1e9))
+    order = np.argsort(sx, kind="stable")
+    coords, channels, radii, mask = (coords[order], channels[order],
+                                     radii[order], mask[order])
+    center = np.zeros(3, np.float32)
+    reach = 1.5 * float(radii.max()) + 0.5
+    win = slab_window_size(np.where(mask, coords[:, 0], 1e9), reach,
+                           pad_to=8)
+    assert win < a  # the window must actually cut work on this layout
+    full = voxelize(jnp.asarray(coords), jnp.asarray(channels),
+                    jnp.asarray(radii), jnp.asarray(mask),
+                    jnp.asarray(center), num_channels=4, npoints=24,
+                    resolution=0.5)
+    wing = voxelize_windowed(jnp.asarray(coords), jnp.asarray(channels),
+                             jnp.asarray(radii), jnp.asarray(mask),
+                             jnp.asarray(center), num_channels=4,
+                             window=win, npoints=24, resolution=0.5)
+    np.testing.assert_allclose(np.asarray(wing), np.asarray(full),
+                               atol=1e-5)
