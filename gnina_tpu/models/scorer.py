@@ -34,10 +34,11 @@ from gnina_tpu.ops.quat import quaternion_to_matrix, random_orientation
 # process-global compiled ensemble programs (see _get_program)
 _PROGRAM_CACHE = {}
 
-# pose-axis chunk cap for the batched rescore (see score_poses_multi);
-# 256 poses x ~30 MB of fused voxelizer intermediate fits v5e HBM with
-# ample headroom where 1024 did not
-_MAX_POSE_BATCH = int(os.environ.get("GNINA_TPU_CNN_POSE_BATCH", "256"))
+# pose-axis chunk cap for the batched rescore (see score_poses_multi):
+# bounds the voxelizer's per-pose fused intermediate (a 1024-pose batch
+# OOM'd v5e HBM at 29 GB), and 128 keeps ONE ensemble-program shape hot
+# in the compile caches (the same program the in-search scorer uses)
+_MAX_POSE_BATCH = int(os.environ.get("GNINA_TPU_CNN_POSE_BATCH", "128"))
 
 
 def _pose_from_outputs(model: CNNModel, outputs):

@@ -37,14 +37,21 @@ def grid_points_1d(center: float, n: int, resolution: float):
 
 
 def density_at(d2, radius):
-    """Gaussian-with-quadratic-tail density as a function of squared dist."""
+    """Gaussian-with-quadratic-tail density as a function of squared dist.
+
+    The quadratic tail (4/e^2)(d/r)^2 - (12/e^2)(d/r) + 9/e^2 factors as
+    e^-2 (2 d/r - 3)^2; comparisons run on squared distances and per-atom
+    reciprocals are hoisted, so the per-element cost is one exp + one
+    sqrt and no divides — this runs over (points x atoms) tiles and is
+    the voxelizer's VPU bottleneck."""
     r2 = radius * radius
-    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
-    gauss = jnp.exp(-2.0 * d2 / r2)
-    dr = d / radius
-    quad = (4.0 * _E2) * dr * dr - (12.0 * _E2) * dr + 9.0 * _E2
-    val = jnp.where(d <= radius, gauss, jnp.where(d <= 1.5 * radius, quad, 0.0))
-    return val
+    rinv = 1.0 / jnp.maximum(radius, 1e-12)
+    d2c = jnp.maximum(d2, 1e-12)
+    gauss = jnp.exp(d2c * (-2.0 * rinv * rinv))
+    t = jnp.sqrt(d2c) * (2.0 * rinv) - 3.0
+    quad = _E2 * t * t
+    return jnp.where(d2c <= r2, gauss,
+                     jnp.where(d2c <= 2.25 * r2, quad, 0.0))
 
 
 def voxelize(coords, channels, radii, mask, center, num_channels: int,
