@@ -83,6 +83,57 @@ def main():
             "best_affinity": round(results[0].energy, 3) if results else None,
         },
     }
+
+    # MEASURED default-effort dock (r5): the extrapolated number above
+    # charges the fixed per-dock overhead (h2d transfers, finish-phase
+    # slope escalation, host assembly — ~2.5 s) 28x, because it scales the
+    # 1024-step wall linearly to the 28.7k-step heuristic.  Docking at the
+    # REAL default effort (num_mc_steps=0 -> main.cpp:449-456 heuristic)
+    # amortizes that overhead and is the honest apples-to-apples number
+    # against the reference's default invocation; it replaces the
+    # extrapolation in lps_at_default_effort and vs_baseline.
+    if os.environ.get("GNINA_TPU_BENCH_DEFAULT_EFFORT", "1") == "1":
+        import signal
+
+        class _DEWall(Exception):
+            pass
+
+        def _de_alarm(sig, frm):
+            raise _DEWall()
+
+        old_h = signal.signal(signal.SIGALRM, _de_alarm)
+        # wall budget: a hang here must not take down the whole artifact
+        signal.alarm(int(os.environ.get(
+            "GNINA_TPU_BENCH_DEFAULT_EFFORT_WALL", "1500")))
+        try:
+            eng_de = DockingEngine(DockSettings(cnn_scoring="none", seed=42))
+            t0 = time.time()
+            eng_de.dock_batch(rec, ligs, center, size, seed=42)
+            de_first = time.time() - t0
+            t0 = time.time()
+            de_res = eng_de.dock_batch(rec, ligs, center, size, seed=43)
+            de_el = time.time() - t0
+            de_lps = batch / de_el
+            out["vs_baseline"] = round(de_lps / V100_LIGANDS_PER_SEC, 3)
+            out["detail"]["lps_at_default_effort_extrapolated"] = \
+                out["detail"]["lps_at_default_effort"]
+            out["detail"]["lps_at_default_effort"] = round(de_lps, 5)
+            out["detail"]["default_effort_measured"] = {
+                "config": f"10gs redock x{batch} batch, heuristic "
+                          f"{heuristic_steps} MC steps/chain "
+                          "(num_mc_steps=0)",
+                "wall_s": round(de_el, 2),
+                "first_call_s": round(de_first, 2),
+                "lig_per_s": round(de_lps, 5),
+                "best_affinity": round(de_res[0][0].energy, 3)
+                if de_res and de_res[0] else None,
+            }
+        except _DEWall:
+            out["detail"]["default_effort_measured"] = {
+                "error": "wall budget exceeded; extrapolated number kept"}
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old_h)
     # recorded fused-vs-XLA search quality gate (scripts/tpu_path_parity.py
     # writes PATH_PARITY.json; re-run it whenever the kernel changes)
     pp = os.path.join(os.path.dirname(os.path.abspath(__file__)),

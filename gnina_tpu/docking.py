@@ -152,6 +152,15 @@ class DockSettings:
     # seeds) at ~1.7x the budget-32/16-step round-3 default.
     fused_async_mc: bool = True
     fused_mc_tick_budget: int = 16
+    # Warm-started per-lane Armijo schedule in async MC: trials begin one
+    # notch above the lane's last accepted alpha instead of at 1 every
+    # BFGS iteration, reset cold at each new candidate (pallas_dock
+    # amc_body).  Measured +2.4% sampling per tick (r5 attrib: 73.1 vs
+    # 71.4 steps per 2048-tick window) — not worth a departure from
+    # bfgs.h:73's fixed-start schedule as a default.  (The cross-candidate
+    # variant bought +29% but FAILED the quality gate: 10gs gap 0.31,
+    # geometry 37 vs 39 — recorded in ROADMAP r5.)  Opt-in knob.
+    fused_warm_ls: bool = False
     # --outputmin N (main.cpp:1005): write minout.sdf with N interpolated
     # frames per accepted minimization step (bfgs.h:244-310)
     outputmin_frames: int = 0
@@ -1010,7 +1019,7 @@ class DockingEngine:
                         s.fused_mc_in_kernel, mcs, dp,
                         s.fused_ls_trials, s.fused_ls_factor,
                         s.fused_async_ls, s.fused_async_mc,
-                        tick_budget)
+                        tick_budget, s.fused_warm_ls)
         else:
             chunk = min(num_steps, max(32, base_chunk * 64 // max(lanes, 64)))
             fdims = None
@@ -1057,7 +1066,8 @@ class DockingEngine:
                             ls_factor=s.fused_ls_factor,
                             async_ls=s.fused_async_ls,
                             async_mc=s.fused_async_mc,
-                            tick_budget=tick_budget)
+                            tick_budget=tick_budget,
+                            warm_ls=s.fused_warm_ls)
                 progs = self._build_dock_program(
                     max_layers, chunk, miniters, num_out, cnn_obj,
                     use_cnn_metro, use_cnn_refine, use_cnn_search,

@@ -291,7 +291,8 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                      n_iter: int = 0, done_frac: float = 1.0,
                      mc_steps: int = 0, num_trials: int = NUM_TRIALS,
                      ls_factor: float = 2.0, async_ls: bool = False,
-                     async_mc: bool = False, tick_budget: int = 24):
+                     async_mc: bool = False, tick_budget: int = 24,
+                     warm_ls: bool = False):
     """Build the fused-BFGS callable.
 
     Returns fn(rigid0 (8,L), tors0 (M,L), scal (12,1), pack arrays...) ->
@@ -1121,19 +1122,34 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                     jnp.sum((stepc < s_f).astype(jnp.float32)) > 0.5)
 
             def amc_body(st):
+                # the warm-LS alpha memory is carried ONLY when warm_ls is
+                # on, so the default program is byte-identical to the
+                # certified fixed-start one (same compile cache key)
                 (tick, crigid, ctors, e_cur, gr_cur,
                  rigid, tors, g, h, f0, met, gr_cand,
-                 tl, itl, stepc, phase) = st
+                 tl, itl, stepc, phase) = st[:16]
+                wa = st[16] if warm_ls else 0.0
                 activeb = stepc < s_f                    # (1, LB) bool
                 activef = activeb.astype(jnp.float32)
 
                 # fresh mutation of the chain state (start lanes use it)
                 mrigid, mtors = mutate(crigid, ctors, gr_cur)
 
-                # Armijo trial point (mid-BFGS lanes use it)
+                # Armijo trial point (mid-BFGS lanes use it).  Warm-started
+                # per-lane line search: trials begin ONE notch above the
+                # lane's last ACCEPTED step size (wa) instead of at
+                # alpha=1 every iteration — successive BFGS steps on the
+                # same pose accept at similar alphas, so the cold
+                # walk-down from 1 (~5-6 rejected evals per iteration,
+                # each a full pair-loop tick) is paid once per lane, not
+                # once per iteration.  Departure from bfgs.h:73's
+                # fixed-start halving schedule is quality-gated
+                # (scripts/quality_gate.py affinity + pose geometry).
                 p = -hdotg(h, g) * dofm
                 pg = jnp.sum(p * g, axis=0, keepdims=True)
-                alpha = jnp.exp2(-tl * _LOG2_FACTOR)
+                base = jnp.maximum(wa - 1.0, 0.0) if warm_ls else 0.0
+                expnt = (base + tl) if warm_ls else tl
+                alpha = jnp.exp2(-expnt * _LOG2_FACTOR)
                 trig, ttors = increment(rigid, tors, p, alpha)
 
                 startb = phase > 0.5
@@ -1204,6 +1220,17 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                                   jnp.where(okb, itl_acc, itl))
                 tl_n = jnp.where(jnp.logical_or(is_start, okb), 0.0,
                                  jnp.where(rejb, tl_rej, tl))
+                # warm line-search memory: the accepted exponent.  Reset
+                # COLD on minimization start — warm memory is only valid
+                # WITHIN one BFGS minimization (successive iterations on
+                # the same pose accept at similar alphas); a fresh
+                # mutation needs the full alpha=1 first trial, and a
+                # stale deep exponent from the previous candidate's
+                # converged tail cripples early descent (measured: gate
+                # fail, 10gs gap 0.31 with cross-candidate carry).
+                if warm_ls:
+                    wa_n = jnp.where(is_start, 0.0,
+                                     jnp.where(okb, base + tl, wa))
 
                 # ---- MC step completion: metropolis at the carried
                 # metro energy of the candidate's final pose ------------
@@ -1237,13 +1264,16 @@ def make_bfgs_kernel(terms: VinaTerms, n: int, m: int, ly: int, k: int,
                 out_sstat[pl.ds(2 * mc_steps, mc_steps), :] += jnp.where(
                     oh, 1.0, 0.0)
 
-                return (tick + 1, crigid_n, ctors_n, e_cur_n, gr_cur_n,
-                        rigid_n, tors_n, g_n, h, f0_n, met_n, gr_cand_n,
-                        tl_n, itl_n, stepc_n, phase_n)
+                nxt = (tick + 1, crigid_n, ctors_n, e_cur_n, gr_cur_n,
+                       rigid_n, tors_n, g_n, h, f0_n, met_n, gr_cand_n,
+                       tl_n, itl_n, stepc_n, phase_n)
+                return nxt + (wa_n,) if warm_ls else nxt
 
             st0 = (jnp.int32(0), rigid0[:], tors0[:], ecur0[:], gr0,
                    rigid0[:], tors0[:], zd, eye, zrow(), zrow(), gr0,
                    zrow(), zrow(), zrow(), zrow() + 1.0)
+            if warm_ls:
+                st0 = st0 + (zrow(),)
             st = jax.lax.while_loop(amc_cond, amc_body, st0)
             crigid_f, ctors_f, e_f, stepc_f = st[1], st[2], st[3], st[14]
             out_rigid[:] = crigid_f
@@ -1441,7 +1471,8 @@ class FusedBfgs:
                  done_frac: float = 1.0, mc_steps: int = 0,
                  shards: int = 1, num_trials: int = NUM_TRIALS,
                  ls_factor: float = 2.0, async_ls: bool = False,
-                 async_mc: bool = False, tick_budget: int = 24):
+                 async_mc: bool = False, tick_budget: int = 24,
+                 warm_ls: bool = False):
         """shards > 1: the kernel is built for ONE shard of a lane axis
         laid out by build_pack(shards=...) and must be invoked inside a
         shard_map body with the pack's lane axis split over the mesh."""
@@ -1466,7 +1497,8 @@ class FusedBfgs:
                                    num_trials=num_trials,
                                    ls_factor=ls_factor, async_ls=async_ls,
                                    async_mc=async_mc,
-                                   tick_budget=tick_budget)
+                                   tick_budget=tick_budget,
+                                   warm_ls=warm_ls)
 
     def scal(self, v_intra, v_inter, slope, v_metro, lo, hi,
              amplitude=2.0, temperature=1.2):

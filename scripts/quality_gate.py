@@ -93,6 +93,8 @@ def main():
         fused_kw["fused_ls_factor"] = float(os.environ["QG_LS_FACTOR"])
     if "QG_MC_STEPS" in os.environ:
         fused_kw["fused_mc_steps"] = int(os.environ["QG_MC_STEPS"])
+    if "QG_WARM_LS" in os.environ:
+        fused_kw["fused_warm_ls"] = os.environ["QG_WARM_LS"] == "1"
 
     out = {"steps": steps, "seeds": seeds, "copies": copies,
            "fused_settings": {k: v for k, v in fused_kw.items()},

@@ -41,6 +41,7 @@ def main():
     steps = int(os.environ.get("S", "128"))
     budget = int(os.environ.get("BUDGET", "16"))
     maxiters = int(os.environ.get("ITERS", "19"))
+    warm = os.environ.get("WARM", "1") == "1"
 
     data = "/root/reference/test/gnina/data"
     rec = ingest.Receptor.from_file(f"{data}/10gs_rec.pdb")
@@ -73,7 +74,8 @@ def main():
     n_hvy = lig.num_atoms  # all heavy in 10gs
     fused = pd.FusedBfgs(eng.sf, pack, maxiters=maxiters, want_metro=True,
                          n_iter=n_hvy, mc_steps=steps, num_trials=10,
-                         ls_factor=2.0, async_mc=True, tick_budget=budget)
+                         ls_factor=2.0, async_mc=True, tick_budget=budget,
+                         warm_ls=warm)
 
     l_pad = pack.lc.shape[-1]
     t = lig_d.num_torsion_slots
@@ -104,10 +106,12 @@ def main():
     ticks = float(evals.max())
     stepc = stats[4]
     out = {
-        "k_pad": k_pad, "kb_tiles": k_pad // 128, "steps": steps,
+        "warm_ls": warm, "k_pad": k_pad, "kb_tiles": k_pad // 128, "steps": steps,
         "budget": budget, "wall_s": round(el, 3),
         "ticks": int(ticks), "us_per_tick": round(el / ticks * 1e6, 1),
         "mean_steps_done": round(float(stepc.mean()), 1),
+        "steps_per_s_per_lane": round(float(stepc.mean()) / el, 1),
+        "mean_best_e": round(float(np.asarray(stats)[0].min()), 3),
         "compile_s": round(compile_s, 1),
     }
     print(json.dumps(out))
