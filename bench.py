@@ -114,6 +114,14 @@ def main():
             de_res = eng_de.dock_batch(rec, ligs, center, size, seed=43)
             de_el = time.time() - t0
             de_lps = batch / de_el
+            # top-1 heavy-atom RMSD vs the crystal pose (redock success;
+            # all 10gs_lig atoms are heavy)
+            de_rmsd = []
+            for rr in de_res:
+                if rr:
+                    d = rr[0].coords[: lig.num_atoms] - lig.orig_coords
+                    de_rmsd.append(float(np.sqrt(
+                        (d * d).sum(axis=1).mean())))
             out["vs_baseline"] = round(de_lps / V100_LIGANDS_PER_SEC, 3)
             out["detail"]["lps_at_default_effort_extrapolated"] = \
                 out["detail"]["lps_at_default_effort"]
@@ -127,6 +135,9 @@ def main():
                 "lig_per_s": round(de_lps, 5),
                 "best_affinity": round(de_res[0][0].energy, 3)
                 if de_res and de_res[0] else None,
+                "rmsd_success": sum(1 for r in de_rmsd if r < 2.0),
+                "rmsd_n": len(de_rmsd),
+                "rmsd_min": round(min(de_rmsd), 2) if de_rmsd else None,
             }
         except _DEWall:
             out["detail"]["default_effort_measured"] = {

@@ -396,6 +396,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                          ("fused_mc_steps", int),
                          ("fused_ls_trials", int),
                          ("fused_ls_factor", float),
+                         ("fused_refine_every", int),
                          ("fused_done_frac", float)):
         _v = os.environ.get("GNINA_TPU_" + _name.upper())
         if _v is not None:

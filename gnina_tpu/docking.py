@@ -152,6 +152,16 @@ class DockSettings:
     # seeds) at ~1.7x the budget-32/16-step round-3 default.
     fused_async_mc: bool = True
     fused_mc_tick_budget: int = 16
+    # Full-v in-loop refine cadence in MC steps, decoupled from the window
+    # length (mc_fused refine_subs): the best accepted candidate of every
+    # `fused_refine_every` steps is refined at full v and admitted to the
+    # top-N container.  0 = auto (max(32, num_steps // 16)).  Near-native
+    # basins often carry mediocre hunt-cap energies; without a refined
+    # (full-v) version admitted in-loop they can be evicted from the
+    # container before the finish stages ever see them — the r5 geometry
+    # gate measured 184l rmsd<2A 16/24 at a 32-step cadence vs 8/24 at 64
+    # (512-step runs).
+    fused_refine_every: int = 0
     # Warm-started per-lane Armijo schedule in async MC: trials begin one
     # notch above the lane's last accepted alpha instead of at 1 every
     # BFGS iteration, reset cold at each new candidate (pallas_dock
@@ -995,11 +1005,16 @@ class DockingEngine:
                     # only; the lockstep path keeps the r3-certified
                     # 16-step window (ADVICE r4)
                     mcs = 16
-                # the window is also the full-v refinement cadence: cap it
-                # at num_steps//8 (floor 16) so SHORT runs keep >=8
-                # refines — at 512 steps a 128-step window measured a
-                # 0.35 kcal/mol mean-best loss on 10gs purely from the
-                # 4-refine cadence, while 1024-step runs show none
+                # cap the window at num_steps//8 (floor 16) so SHORT runs
+                # keep >=8 windows — at 512 steps a 128-step window
+                # measured a 0.35 kcal/mol mean-best loss on 10gs from
+                # pooled-budget truncation, while 1024-step runs show none.
+                # (Shrinking the window FURTHER to densify the refine
+                # cadence was tried and rejected in r5: S=32 at 512 steps
+                # recovered 184l pose geometry (16/24 vs 8/24 rmsd<2A) but
+                # cost 0.35 kcal/mol mean best on 10gs — short pooled
+                # windows truncate high-torsion lanes.  The refine cadence
+                # is decoupled below via refine_subs instead.)
                 mcs = min(mcs, max(num_steps // 8, 16))
                 if s.fused_async_mc:
                     m_nodes = fused_pack.nodeoh.shape[0]
@@ -1013,10 +1028,21 @@ class DockingEngine:
                 # chunk must be a whole number of windows or the executed
                 # step count silently drifts from the requested one
                 chunk = max(((chunk + mcs - 1) // mcs) * mcs, mcs)
+            # full-v refine cadence, decoupled from the window length
+            # (mc_fused refine_subs): short runs refine relatively more
+            # (every max(32, num_steps//16) steps) because the pose-
+            # geometry gate showed 184l needs a ~32-step cadence at 512
+            # steps, while at default effort (~28.7k steps) extra refine
+            # kernel calls would cost ~25% wall for no measured quality
+            # gain (ROADMAP r5).
+            r_every = int(s.fused_refine_every) or max(32, num_steps // 16)
+            refine_subs = max(1, mcs // max(r_every, 1))
+            while mcs % refine_subs:
+                refine_subs -= 1
             tick_budget = int(s.fused_mc_tick_budget)
             prog_key = ("fused", fdims, n_hvy, chunk, miniters,
                         s.exhaustiveness, num_out, s.fused_done_frac,
-                        s.fused_mc_in_kernel, mcs, dp,
+                        s.fused_mc_in_kernel, mcs, refine_subs, dp,
                         s.fused_ls_trials, s.fused_ls_factor,
                         s.fused_async_ls, s.fused_async_mc,
                         tick_budget, s.fused_warm_ls)
@@ -1072,7 +1098,8 @@ class DockingEngine:
                     max_layers, chunk, miniters, num_out, cnn_obj,
                     use_cnn_metro, use_cnn_refine, use_cnn_search,
                     use_grid_search, fused=fused, fused_out=fused_out,
-                    fused_mc=fused_mc, mesh=mesh)
+                    fused_mc=fused_mc, mesh=mesh,
+                    refine_subs=refine_subs if use_fused else 1)
                 if cnn_obj is None:
                     self._programs[prog_key] = progs
 
@@ -1238,7 +1265,7 @@ class DockingEngine:
                             cnn_obj, use_cnn_metro, use_cnn_refine,
                             use_cnn_search, use_grid_search=False,
                             fused=None, fused_out=None, fused_mc=None,
-                            mesh=None):
+                            mesh=None, refine_subs=1):
         """Three jitted programs: chain init, a bounded MC chunk, and the
         merge+refine finish.  Chunking keeps each device program execution
         short (the single-chip tunnel kills very long executions) and the
@@ -1375,7 +1402,8 @@ class DockingEngine:
                         flat, key, chunk_steps, fused_mc, fused, pack,
                         scal_h, scal_f, meta, mcpar, tp_slots,
                         seed_offset=(shard * blocks_local
-                                     if mesh is not None else 0))
+                                     if mesh is not None else 0),
+                        refine_subs=refine_subs)
                 return mcf.fused_mc_chunk(
                     flat, key, chunk_steps, fused, pack, scal_h, scal_f,
                     meta, mcpar, tp_slots,

@@ -226,7 +226,7 @@ def fused_mc_chunk_inkernel(carry: mc.MCCarry, key, num_steps: int,
                             fused_mc: pd.FusedBfgs, fused_ref: pd.FusedBfgs,
                             pack: pd.DockPack, scal_hunt, scal_full,
                             meta: LaneMeta, params: mc.MCParams, tp: int,
-                            seed_offset=0):
+                            seed_offset=0, refine_subs: int = 1):
     """MC chunk with the WHOLE step loop in-kernel (mutate + BFGS +
     metropolis via the TPU PRNG, ops/pallas_dock.py mc_steps mode).
 
@@ -234,10 +234,17 @@ def fused_mc_chunk_inkernel(carry: mc.MCCarry, key, num_steps: int,
     the accept chain itself (its final rigid/tors/e ARE the chain state),
     and streams each step's minimized candidate back.  The host-side
     bookkeeping per S steps is then just:
-      1. pick the best accepted candidate and refine it at full v through
-         the plain kernel (the reference's in-loop promising-pose
-         refinement, monte_carlo.cpp:120-135, at an every-S-steps cadence);
-      2. fold ALL accepted candidates + the refined pose into the top-N
+      1. pick the best accepted candidate of each of the `refine_subs`
+         sub-windows (S/refine_subs steps each) and refine it at full v
+         through the plain kernel (the reference's in-loop promising-pose
+         refinement, monte_carlo.cpp:120-135).  Decoupling the refine
+         CADENCE from the window LENGTH matters: the pooled tick budget
+         wants long windows (sampling efficiency) while pose geometry
+         wants full-v refined poses admitted to the container every ~32
+         steps — the r5 geometry gate measured 184l rmsd<2A 16/24 at a
+         32-step cadence vs 8/24 at 64 while shortening the WINDOW to 32
+         cost 0.35 kcal/mol mean best on 10gs (ROADMAP r5);
+      2. fold ALL accepted candidates + the refined poses into the top-N
          container with ONE batched sort/dedup merge
          (mc.batch_merge_candidates) — the round-2 sequential
          add_to_container chain was the dominant per-step host cost.
@@ -249,6 +256,8 @@ def fused_mc_chunk_inkernel(carry: mc.MCCarry, key, num_steps: int,
     n_full = carry.coords.shape[-2]
     assert num_steps % s_steps == 0, \
         "chunk steps must be a multiple of fused mc_steps (driver rounds)"
+    assert refine_subs >= 1 and s_steps % refine_subs == 0, \
+        "refine_subs must divide the window length (driver rounds)"
     n_outer = num_steps // s_steps
 
     def pack_conf(conf):
@@ -350,21 +359,45 @@ def fused_mc_chunk_inkernel(carry: mc.MCCarry, key, num_steps: int,
                 a, idx.reshape((-1, 1) + (1,) * (a.ndim - 2)), axis=1
             ).squeeze(1)
 
-        pend = Conf(position=take(cpos, idx_best),
-                    orientation=take(cquat, idx_best),
-                    torsions=take(ctors, idx_best))
-
-        # full-v refinement of the pending pose (one plain-kernel call)
-        prigid, ptors = pack_conf(pend)
-        org, otr, rstats, rcoords_h = fused_ref(prigid, ptors, scal_full,
-                                                pack=pack)
-        rconf = pd.packed_to_conf(org[:, :lanes], otr[:, :lanes], tp)
-        re = rstats[1, :lanes]
-        rcoords = scatter_batch(rcoords_h)
+        # full-v refinement of the best accepted candidate of EACH
+        # sub-window (refine_subs plain-kernel calls; refine_subs == 1 is
+        # the r4 whole-window behavior)
+        sub = s_steps // refine_subs
+        ref_confs, ref_es, ref_coords, ref_valids = [], [], [], []
+        for r in range(refine_subs):
+            me_r = masked_e[:, r * sub:(r + 1) * sub]
+            idx_r = jnp.argmin(me_r, axis=1) + r * sub    # (L,)
+            valid_r = jnp.any(accept[:, r * sub:(r + 1) * sub], axis=1)
+            pend_r = Conf(position=take(cpos, idx_r),
+                          orientation=take(cquat, idx_r),
+                          torsions=take(ctors, idx_r))
+            prigid, ptors = pack_conf(pend_r)
+            org, otr, rstats, rcoords_h = fused_ref(prigid, ptors,
+                                                    scal_full, pack=pack)
+            ref_confs.append(pd.packed_to_conf(org[:, :lanes],
+                                               otr[:, :lanes], tp))
+            ref_es.append(rstats[1, :lanes])
+            ref_coords.append(scatter_batch(rcoords_h))
+            ref_valids.append(valid_r)
 
         # chain continues from the refined conf when the pending pose is
-        # still the chain head (monte_carlo.cpp:128 semantics)
+        # still the chain head (monte_carlo.cpp:128 semantics); the global
+        # best candidate lives in sub-window idx_best // sub — select that
+        # sub-window's refined version per lane
         move = jnp.logical_and(has_acc, last_acc == idx_best)
+        sb = idx_best // sub                              # (L,)
+
+        def pick(arrs):
+            out = arrs[0]
+            for r in range(1, refine_subs):
+                sel = (sb == r).reshape((-1,) + (1,) * (arrs[r].ndim - 1))
+                out = jnp.where(sel, arrs[r], out)
+            return out
+
+        rconf = jax.tree_util.tree_map(lambda *xs: pick(list(xs)),
+                                       *ref_confs)
+        re = pick(ref_es)
+        rcoords = pick(ref_coords)
 
         def msel(a, b):
             mm = move.reshape((-1,) + (1,) * (a.ndim - 1))
@@ -374,31 +407,39 @@ def fused_mc_chunk_inkernel(carry: mc.MCCarry, key, num_steps: int,
         e = jnp.where(move, re, e_f)
         coords = msel(rcoords, coords_f)
 
-        # ONE batched container merge: S accepted candidates + the refined
-        # pose; rejected slots become empty entries (energy MAX_FL)
-        rvalid = has_acc
+        # ONE batched container merge: S accepted candidates + the
+        # refine_subs refined poses; rejected slots become empty entries
+        # (energy MAX_FL)
+        re_col = jnp.stack(ref_es, axis=1)                # (L, R)
+        rvalid_col = jnp.stack(ref_valids, axis=1)        # (L, R)
+        rcoords_col = jnp.stack(ref_coords, axis=1)       # (L, R, N, 3)
         cand_cont = mc.PoseContainer(
             energy=jnp.concatenate([
                 jnp.where(accept, cand_e, MAX_FL),
-                jnp.where(rvalid, re, MAX_FL)[:, None]], axis=1),
-            position=jnp.concatenate([cpos, rconf.position[:, None]],
-                                     axis=1),
-            orientation=jnp.concatenate([cquat, rconf.orientation[:, None]],
-                                        axis=1),
-            torsions=jnp.concatenate([ctors, rconf.torsions[:, None]],
-                                     axis=1),
+                jnp.where(rvalid_col, re_col, MAX_FL)], axis=1),
+            position=jnp.concatenate(
+                [cpos, jnp.stack([c.position for c in ref_confs], axis=1)],
+                axis=1),
+            orientation=jnp.concatenate(
+                [cquat,
+                 jnp.stack([c.orientation for c in ref_confs], axis=1)],
+                axis=1),
+            torsions=jnp.concatenate(
+                [ctors, jnp.stack([c.torsions for c in ref_confs], axis=1)],
+                axis=1),
             coords=jnp.concatenate([
                 jnp.where(accept[:, :, None, None]
                           & meta.heavy_mask[:, None, :, None],
                           ccoords, 1e9),
-                jnp.where(rvalid[:, None, None, None]
+                jnp.where(rvalid_col[:, :, None, None]
                           & meta.heavy_mask[:, None, :, None],
-                          rcoords[:, None], 1e9)], axis=1))
+                          rcoords_col, 1e9)], axis=1))
         cont = v_merge(carry.cont, cand_cont, meta.heavy_mask,
                        params.min_rmsd)
 
         best_e = jnp.minimum(carry.best_e, jnp.min(masked_e, axis=1))
-        best_e = jnp.minimum(best_e, jnp.where(rvalid, re, big))
+        best_e = jnp.minimum(
+            best_e, jnp.min(jnp.where(rvalid_col, re_col, big), axis=1))
 
         return mc.MCCarry(conf=conf, e=e, best_e=best_e, cont=cont,
                           coords=coords, pending=conf,

@@ -43,40 +43,58 @@ def main():
     steps = int(os.environ.get("STEPS", "512"))
     copies = int(os.environ.get("COPIES", "8"))
     windows = [int(w) for w in os.environ.get("WINDOWS", "0").split(",")]
+    # PATH=xla: probe the XLA path instead (STRIDE sweeps refine_stride,
+    # the in-loop full-v refinement cadence) — the reverse-causality A/B
+    # for the fused path's once-per-window refine cadence
+    path = os.environ.get("PATH_MODE", "fused")
+    strides = [int(x) for x in os.environ.get("STRIDE", "8").split(",")]
 
     rec_path, lig_path = FIXTURES[name]
     rec = ingest.Receptor.from_file(rec_path)
     lig = list(ingest.iter_ligands(lig_path))[0]
     center, size = ingest.autobox_ligand(lig_path)
 
-    for budget in budgets:
-        for window in windows:
-            kw = dict(fused_search="on", fused_mc_tick_budget=budget)
-            if window:
-                kw["fused_mc_steps"] = window
-            succ = 0
-            total = 0
-            means = []
-            wall = 0.0
-            for seed in seeds:
-                eng = DockingEngine(DockSettings(
-                    cnn_scoring="none", seed=seed, num_mc_steps=steps,
-                    exhaustiveness=8, **kw))
-                t0 = time.time()
-                res = eng.dock_batch(rec, [lig] * copies, center, size,
-                                     seed=seed)
-                wall += time.time() - t0
-                rms = [top1_rmsd(lig, rr) for rr in res]
-                succ += sum(1 for r in rms if r < 2.0)
-                total += len(rms)
-                means.append(float(np.mean(
-                    [rr[0].energy for rr in res if rr])))
-            print(json.dumps({
-                "fixture": name, "budget": budget, "window": window or None,
-                "steps": steps, "rmsd_success": succ, "rmsd_n": total,
-                "mean_best": round(float(np.mean(means)), 3),
-                "wall_s": round(wall, 1),
-            }), flush=True)
+    if path == "xla":
+        combos = [dict(fused_search="off", refine_stride=st)
+                  for st in strides]
+    else:
+        refines = [int(x) for x in
+                   os.environ.get("REFINE", "0").split(",")]
+        combos = []
+        for budget in budgets:
+            for window in windows:
+                for refine in refines:
+                    kw = dict(fused_search="on",
+                              fused_mc_tick_budget=budget)
+                    if window:
+                        kw["fused_mc_steps"] = window
+                    if refine:
+                        kw["fused_refine_every"] = refine
+                    combos.append(kw)
+    for kw in combos:
+        succ = 0
+        total = 0
+        means = []
+        wall = 0.0
+        for seed in seeds:
+            eng = DockingEngine(DockSettings(
+                cnn_scoring="none", seed=seed, num_mc_steps=steps,
+                exhaustiveness=8, **kw))
+            t0 = time.time()
+            res = eng.dock_batch(rec, [lig] * copies, center, size,
+                                 seed=seed)
+            wall += time.time() - t0
+            rms = [top1_rmsd(lig, rr) for rr in res]
+            succ += sum(1 for r in rms if r < 2.0)
+            total += len(rms)
+            means.append(float(np.mean(
+                [rr[0].energy for rr in res if rr])))
+        print(json.dumps({
+            "fixture": name, "steps": steps, **kw,
+            "rmsd_success": succ, "rmsd_n": total,
+            "mean_best": round(float(np.mean(means)), 3),
+            "wall_s": round(wall, 1),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -133,6 +133,43 @@ def test_fused_dock_async_mc_end_to_end():
     assert (c >= lo).all() and (c <= hi).all()
 
 
+def test_fused_async_mc_subwindow_refine():
+    """refine_subs > 1: the best accepted candidate of EACH sub-window is
+    refined at full v and admitted to the container (mc_fused
+    fused_mc_chunk_inkernel refine_subs; the r5 geometry-cadence
+    decoupling).  Same pipeline-integrity assertions as the async test."""
+    import dataclasses
+
+    rec = ingest.Receptor.from_file(f"{DATA}/noelem_rec.pdb")
+    mol = list(sdf.iter_sdf(f"{DATA}/noelem.sdf"))[0]
+    lig = build_tree_from_molecule(mol)
+    center, size = ingest.autobox_ligand(f"{DATA}/noelem.sdf")
+    d = np.linalg.norm(rec.coords - np.asarray(center)[None, :], axis=1)
+    keep = np.argsort(d)[:250]
+    rec = dataclasses.replace(rec, coords=rec.coords[keep],
+                              types=rec.types[keep],
+                              charges=rec.charges[keep])
+    eng = DockingEngine(DockSettings(
+        cnn_scoring="none", seed=3, num_mc_steps=16, exhaustiveness=2,
+        fused_search="on", fused_mc_in_kernel=True, fused_mc_steps=8,
+        fused_async_mc=True, fused_mc_tick_budget=12,
+        fused_refine_every=4,           # -> refine_subs = 2
+        num_mc_saved=8, num_modes=4))
+    results = eng.dock_batch(rec, [lig], center, size, seed=3)
+    assert len(results) == 1
+    assert results[0], "no poses returned"
+    lo = np.asarray(center) - np.asarray(size) / 2 - 1.0
+    hi = np.asarray(center) + np.asarray(size) / 2 + 1.0
+    from gnina_tpu.constants import IS_HYDROGEN
+
+    heavy = ~IS_HYDROGEN[lig.types]
+    for r in results[0]:
+        assert np.isfinite(r.energy)
+    assert results[0][0].energy < 0.0, results[0][0].energy
+    c = results[0][0].coords[heavy]
+    assert (c >= lo).all() and (c <= hi).all()
+
+
 @pytest.mark.smoke
 def test_fused_eligibility_gating():
     """Flex/covalent/non-vina jobs must fall back to the XLA path."""
