@@ -296,7 +296,16 @@ class DockingEngine:
         # when nothing engine-local is captured (a user grid is baked into
         # the energy fn via make_energy_fn, so it pins a private cache)
         if user_grid is None:
-            ck = ("progs-v1", dataclasses.astuple(self.settings),
+            # seed is a RUNTIME arg of every program (PRNGKey fed to
+            # init_fn / fold_in per chunk) — two engines differing only in
+            # seed share identical compiled programs.  Keying on it made
+            # every per-seed engine (quality gate, probes, API users who
+            # construct one engine per job) re-pay ~40-60 s of
+            # trace+lowering per shape even with the persistent XLA cache
+            # hitting (r5 finding).
+            ck = ("progs-v1",
+                  dataclasses.astuple(
+                      dataclasses.replace(self.settings, seed=0)),
                   _sf_fingerprint(self.sf))
             with _PROGRAM_CACHE_LOCK:
                 self._programs = _PROGRAM_CACHE.setdefault(ck, {})
